@@ -1,0 +1,110 @@
+"""ClassNet / BoxNet prediction heads in Flax.
+
+Behavioral parity with reference tf2/efficientdet_keras.py:327-633:
+`repeats` separable convs whose weights are SHARED across pyramid levels
+with PER-LEVEL BatchNorm (class-%d-bn-%d naming, 399-408/558-569), class
+head bias initialized to -log((1-0.01)/0.01) (469), box head predicting
+4*num_anchors regression targets.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .efficientnet import BatchNorm, activation
+
+_pw_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+_dense_head_init = nn.initializers.normal(stddev=0.01)
+
+
+class _SharedConv(nn.Module):
+    """Separable or plain 3x3 conv shared across levels."""
+    features: int
+    separable: bool
+    use_bias: bool = True
+    bias_init_value: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        bias_init = nn.initializers.constant(self.bias_init_value)
+        if self.separable:
+            x = nn.Conv(x.shape[-1], (3, 3),
+                        feature_group_count=x.shape[-1], use_bias=False,
+                        kernel_init=_pw_init, name="dw")(x)
+            x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                        kernel_init=_pw_init, bias_init=bias_init,
+                        name="pw")(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), use_bias=self.use_bias,
+                        kernel_init=_dense_head_init, bias_init=bias_init,
+                        name="conv")(x)
+        return x
+
+
+class PredictionNet(nn.Module):
+    """Shared-conv / per-level-BN head body + final prediction layer.
+
+    Generalizes ClassNet (efficientdet_keras.py:327-474) and BoxNet
+    (477-633): they differ only in output width and bias init.
+    """
+    output_features: int
+    num_filters: int
+    num_levels: int
+    repeats: int = 4
+    act_type: str = "swish"
+    separable_conv: bool = True
+    head_bias_init: float = 0.0
+    survival_prob: Optional[float] = None
+    bn_axis_name: Optional[str] = None
+    grad_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, training: bool):
+        # conv weights shared across levels: instantiate once
+        convs = [_SharedConv(self.num_filters, self.separable_conv,
+                             name=f"conv_{i}") for i in range(self.repeats)]
+        predict = _SharedConv(self.output_features, self.separable_conv,
+                              bias_init_value=self.head_bias_init,
+                              name="predict")
+        outputs = []
+        for level_id in range(self.num_levels):
+            x = inputs[level_id]
+            for i in range(self.repeats):
+                original = x
+                x = convs[i](x)
+                x = BatchNorm(axis_name=self.bn_axis_name,
+                              name=f"bn_{i}_l{level_id}")(x, training)
+                x = activation(x, self.act_type)
+                if i > 0 and self.survival_prob:
+                    # survival_prob/drop-connect omitted in eval; residual add
+                    x = x + original
+            outputs.append(predict(x))
+        return outputs
+
+
+def class_net(num_classes: int, num_anchors: int, num_filters: int,
+              num_levels: int, repeats: int, act_type: str,
+              separable_conv: bool, survival_prob=None, bn_axis_name=None,
+              grad_checkpoint=False) -> PredictionNet:
+    return PredictionNet(
+        output_features=num_classes * num_anchors,
+        num_filters=num_filters, num_levels=num_levels, repeats=repeats,
+        act_type=act_type, separable_conv=separable_conv,
+        head_bias_init=-math.log((1 - 0.01) / 0.01),
+        survival_prob=survival_prob, bn_axis_name=bn_axis_name,
+        grad_checkpoint=grad_checkpoint, name="class_net")
+
+
+def box_net(num_anchors: int, num_filters: int, num_levels: int,
+            repeats: int, act_type: str, separable_conv: bool,
+            survival_prob=None, bn_axis_name=None,
+            grad_checkpoint=False) -> PredictionNet:
+    return PredictionNet(
+        output_features=4 * num_anchors,
+        num_filters=num_filters, num_levels=num_levels, repeats=repeats,
+        act_type=act_type, separable_conv=separable_conv,
+        survival_prob=survival_prob, bn_axis_name=bn_axis_name,
+        grad_checkpoint=grad_checkpoint, name="box_net")

@@ -1,0 +1,122 @@
+"""Attention U-Net defender (patch detection + background recovery) in Flax.
+
+Behavioral parity with reference generator.py (UNetBackBone 17-68,
+PatchNeutralizer 71-96, AttentionBlock 99-150, Conv2DBlock 153-214,
+Conv2DTransposeBlock 217-261): 4 encoder Conv2DBlocks with filters
+n_filters * 2^i, a bottleneck block, 4 decoder transpose blocks with
+attention-gated skip connections (arXiv 1804.03999), leaky-relu activations,
+BatchNorm, dropout 0.2, and a 1x1 tanh output head producing a 3-channel
+"update" image.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_he_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+
+
+class ConvBlock(nn.Module):
+    """Two 3x3 conv + BN + leaky_relu (generator.py:153-214)."""
+    n_filters: int
+    kernel_size: int = 3
+    batchnorm: bool = True
+    dropout: Optional[float] = None
+    maxpool: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        for j in (1, 2):
+            x = nn.Conv(self.n_filters,
+                        (self.kernel_size, self.kernel_size),
+                        kernel_init=_he_init, name=f"cnv{j}")(x)
+            if self.batchnorm:
+                x = nn.BatchNorm(use_running_average=not training,
+                                 name=f"bn{j}")(x)
+            x = nn.leaky_relu(x)
+        if self.maxpool:
+            f = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if self.dropout:
+                f = nn.Dropout(self.dropout, deterministic=not training)(f)
+            return x, f  # (skip, downsampled)
+        if self.dropout:
+            return nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x
+
+
+class AttentionBlock(nn.Module):
+    """Convolutional attention gating (generator.py:99-150)."""
+    n_filters: int
+
+    @nn.compact
+    def __call__(self, up_in, skip_in, training: bool = False):
+        g = nn.Conv(self.n_filters, (1, 1), name="cnv1")(up_in)
+        g = nn.BatchNorm(use_running_average=not training, name="bn1")(g)
+        x = nn.Conv(self.n_filters, (1, 1), name="cnv2")(skip_in)
+        x = nn.BatchNorm(use_running_average=not training, name="bn2")(x)
+        x = nn.leaky_relu(g + x)
+        x = nn.Conv(1, (1, 1), name="conv3")(x)
+        x = nn.BatchNorm(use_running_average=not training, name="bn3")(x)
+        x = jax.nn.sigmoid(x)
+        return skip_in * x
+
+
+class DeconvBlock(nn.Module):
+    """Transpose conv upsample + attention-gated skip concat + ConvBlock
+    (generator.py:217-261)."""
+    n_filters: int
+    kernel_size: int = 3
+    dropout: Optional[float] = None
+    batchnorm: bool = True
+    attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip, training: bool = False):
+        x = nn.ConvTranspose(self.n_filters,
+                             (self.kernel_size, self.kernel_size),
+                             strides=(2, 2), kernel_init=_he_init,
+                             name="cnv")(x)
+        if self.attention:
+            skip = AttentionBlock(self.n_filters, name="attention")(
+                x, skip, training)
+        x = jnp.concatenate([x, skip], axis=-1)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        x = ConvBlock(self.n_filters, self.kernel_size, maxpool=False,
+                      batchnorm=self.batchnorm, name="convblock")(x, training)
+        return x
+
+
+class PatchNeutralizer(nn.Module):
+    """Attention U-Net + 1x1 tanh head (generator.py:17-96).
+
+    Output is the defender "update": 2 * output added to the input image
+    neutralizes detected patches (attack_detection.py:190).
+    """
+    n_filters: int = 8
+    dropout: float = 0.2
+    batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        skips = []
+        for i in range(4):
+            skip, x = ConvBlock(self.n_filters * (2 ** i),
+                                batchnorm=self.batchnorm,
+                                dropout=self.dropout,
+                                name=f"conv{i}")(x, training)
+            skips.append(skip)
+        x = ConvBlock(self.n_filters * (2 ** 4), batchnorm=self.batchnorm,
+                      maxpool=False, name="conv4")(x, training)
+        m = 8
+        for i, skip in enumerate(reversed(skips)):
+            x = DeconvBlock(int(self.n_filters * m),
+                            dropout=self.dropout,
+                            batchnorm=self.batchnorm,
+                            name=f"deconv{i}")(x, skip, training)
+            m /= 2
+        x = nn.Conv(3, (1, 1), kernel_init=_he_init, name="output")(x)
+        return jnp.tanh(x)

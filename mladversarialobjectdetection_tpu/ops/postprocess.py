@@ -1,0 +1,122 @@
+"""Anchor decode + NMS postprocessing pipeline.
+
+Behavioral parity with reference tf2/postprocess.py:
+  - `merge_class_box_level_outputs` (postprocess.py:67-81): concat per-level
+    head outputs into [B, A, C] / [B, A, 4]
+  - `max_reduce` candidate selection (postprocess.py:104-116): keep every
+    anchor with its max-class score
+  - `pre_nms` (postprocess.py:119-156): decode boxes, sigmoid scores
+  - `postprocess_global` (postprocess.py:375-406): per-image NMS + clip +
+    rescale to original image coordinates
+  - CLASS_OFFSET = 1 (postprocess.py:26)
+
+TPU-first deltas: a static `pre_nms_topk` selects the NMS candidate set
+(replacing the reference's dynamic all-anchor NMS input) and every output is
+a fixed-shape padded tensor with a validity mask instead of ragged/dynamic.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nms as nms_ops
+from .anchors import Anchors, decode_box_outputs
+from ..utils.image import parse_image_size
+
+CLASS_OFFSET = 1
+
+
+class Detections(NamedTuple):
+    """Padded per-image detections (all [B, M, ...] / [B, M] / [B])."""
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    classes: jnp.ndarray
+    valid: jnp.ndarray
+    valid_len: jnp.ndarray
+
+
+def merge_class_box_level_outputs(
+        params, cls_outputs: Sequence[jnp.ndarray],
+        box_outputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concat all levels into [B, A, num_classes] and [B, A, 4]."""
+    num_classes = params["num_classes"]
+    cls_all: List[jnp.ndarray] = []
+    box_all: List[jnp.ndarray] = []
+    batch = cls_outputs[0].shape[0]
+    for level in range(0, params["max_level"] - params["min_level"] + 1):
+        cls_all.append(cls_outputs[level].reshape(batch, -1, num_classes))
+        box_all.append(box_outputs[level].reshape(batch, -1, 4))
+    return jnp.concatenate(cls_all, axis=1), jnp.concatenate(box_all, axis=1)
+
+
+def pre_nms(params, cls_outputs: Sequence[jnp.ndarray],
+            box_outputs: Sequence[jnp.ndarray]
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode all anchors; per-anchor max class (max_reduce mode).
+
+    Returns (boxes [B,A,4], scores [B,A] sigmoid, classes [B,A] int32) with
+    classes NOT yet offset (person == 0), matching the reference's use in
+    attacker.py:106 / attack_detection.py:116.
+    """
+    anchors = Anchors(params["min_level"], params["max_level"],
+                      params["num_scales"], tuple(params["aspect_ratios"]),
+                      params["anchor_scale"], params["image_size"])
+    cls_merged, box_merged = merge_class_box_level_outputs(
+        params, cls_outputs, box_outputs)
+    classes = jnp.argmax(cls_merged, axis=-1).astype(jnp.int32)  # [B, A]
+    logits = jnp.max(cls_merged, axis=-1)                         # [B, A]
+    anchor_boxes = jnp.asarray(anchors.boxes)                     # [A, 4]
+    boxes = decode_box_outputs(box_merged, anchor_boxes[None])    # [B, A, 4]
+    scores = jax.nn.sigmoid(logits)
+    return boxes, scores, classes
+
+
+def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
+    """Clip boxes into the image (reference postprocess.py:61-64)."""
+    h, w = parse_image_size(image_size)
+    lo = jnp.zeros((4,), boxes.dtype)
+    hi = jnp.asarray([h, w, h, w], boxes.dtype)
+    return jnp.clip(boxes, lo, hi)
+
+
+def nms_kwargs_from_config(nms_configs) -> dict:
+    """Translate a config nms_configs block into nms_padded kwargs."""
+    get = nms_configs.get if hasattr(nms_configs, "get") else nms_configs.__getitem__
+    return dict(
+        method=get("method") or "hard",
+        iou_thresh=get("iou_thresh"),
+        score_thresh=get("score_thresh"),
+        sigma=get("sigma"),
+        max_output_size=int(get("max_output_size") or 100),
+    )
+
+
+def postprocess_global(params, cls_outputs, box_outputs,
+                       image_scales=None) -> Detections:
+    """Global (class-agnostic) NMS postprocessing, fixed shapes.
+
+    Parity with reference postprocess.py:375-406, with a static top-k
+    candidate pre-selection (`nms_configs.pre_nms_topk`).
+    """
+    boxes, scores, classes = pre_nms(params, list(cls_outputs), list(box_outputs))
+    nms_cfg = params["nms_configs"]
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    topk = int(get("pre_nms_topk") or 1024)
+    topk = min(topk, scores.shape[1])
+
+    top_scores, top_idx = jax.lax.top_k(scores, topk)           # [B, K]
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+
+    kw = nms_kwargs_from_config(nms_cfg)
+    res = nms_ops.batched_nms(top_boxes, top_scores, **kw)
+    out_boxes = clip_boxes(res.boxes, params["image_size"])
+    out_classes = (jnp.take_along_axis(top_classes, res.indices, axis=1)
+                   + CLASS_OFFSET) * res.valid
+    if image_scales is not None:
+        scales = jnp.asarray(image_scales).reshape(-1, 1, 1)
+        out_boxes = out_boxes * scales.astype(out_boxes.dtype)
+    return Detections(out_boxes, res.scores, out_classes.astype(jnp.float32),
+                      res.valid, res.valid_len)
