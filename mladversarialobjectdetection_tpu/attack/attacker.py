@@ -1,0 +1,243 @@
+"""Adversarial-patch attack training core, TPU-native.
+
+Behavioral parity with reference attacker.py (PatchAttacker, 24-341):
+  - two-pass scheme: a clean detector pass finds person boxes (no gradient,
+    attacker.py:91-116), the patched pass runs under the gradient
+    (attacker.py:118-141,182-193)
+  - exactly two trainable tensors: a PxPx3 patch clipped to [-1,1] and a
+    scale scalar clipped to [0,1] (attacker.py:51-54)
+  - loss = sum(max_score^2 + (max_score - scale)^2) + 1e-5 * TV(patch)
+    (attacker.py:190-193)
+  - box validity filter: box fits image, area > 100 px, (first pass only)
+    score >= nms score_thresh (attacker.py:70-89)
+  - ASR metric from NMS'd clean vs patched detections (attacker.py:238-263)
+
+TPU-first design: everything below `train_step` is one jitted SPMD program
+over a data-parallel mesh — static [B, K] box slots instead of ragged
+tensors, the EOT compositor from ops/eot.py instead of scatter loops, optax
+instead of Keras, explicit PRNG keys instead of stateful RNG. Gradients are
+reduced across the mesh by XLA-inserted collectives (batch sharding).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.efficientdet import DetSpec, EfficientDetNet, spec_from_config
+from ..ops import eot
+from ..ops import nms as nms_ops
+from ..ops import postprocess
+
+NEG_INF = nms_ops.NEG_INF
+
+
+class AttackState(NamedTuple):
+    patch: jnp.ndarray       # [P, P, 3] in [-1, 1]
+    scale: jnp.ndarray       # [] in [0, 1]
+    opt_state: Any
+    step: jnp.ndarray        # [] int32
+    key: jax.Array
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    scale: jnp.ndarray
+    scale_loss: jnp.ndarray
+    tv_loss: jnp.ndarray
+    mean_max_score: jnp.ndarray
+    std_max_score: jnp.ndarray
+    asr: jnp.ndarray
+    asr_to_scale: jnp.ndarray
+
+
+def filter_valid_boxes(scores: jnp.ndarray, boxes: jnp.ndarray,
+                       classes: jnp.ndarray, image_hw: Tuple[int, int],
+                       score_thresh: float | None) -> jnp.ndarray:
+    """Person + validity mask over anchors (attacker.py:70-89 + person
+    filter at 106-113). Returns bool [B, A]."""
+    h, w = float(image_hw[0]), float(image_hw[1])
+    bh = boxes[..., 2] - boxes[..., 0]
+    bw = boxes[..., 3] - boxes[..., 1]
+    area = bh * bw
+    cond = (classes == 0)  # person (pre-CLASS_OFFSET)
+    cond &= (bw / w <= 1.0) & (bh / h <= 1.0)
+    cond &= area > 100.0
+    if score_thresh is not None:
+        cond &= scores >= score_thresh
+    return cond
+
+
+class PatchAttacker:
+    """Builds the jitted attack train/eval step for a frozen victim model.
+
+    Unlike the reference's Keras subclass, this is a thin factory around
+    pure functions: `init_state` + `train_step(state, images)` /
+    `eval_step(state, images)`.
+    """
+
+    def __init__(self, config, det_variables, *, patch_size: int = 640,
+                 learning_rate: float = 1e-2, tolerance: float = 0.2,
+                 bn_axis_name: str | None = None):
+        self.config = config
+        self.spec: DetSpec = spec_from_config(config)
+        self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
+        self.det_variables = det_variables
+        self.patch_size = patch_size
+        self.image_hw = self.spec.image_size
+        self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)
+        self.tx = optax.adam(learning_rate)
+        nms_cfg = config.nms_configs
+        self.nms_kwargs = postprocess.nms_kwargs_from_config(nms_cfg)
+        self.pre_nms_topk = int(nms_cfg.get("pre_nms_topk") or 1024)
+        self.score_thresh = float(nms_cfg.get("score_thresh") or 0.0)
+        self.tolerance = tolerance
+        self._params_dict = config.as_dict()
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, key: jax.Array, initial_patch=None,
+                   initial_scale: float = 0.4) -> AttackState:
+        kp, ks = jax.random.split(key)
+        if initial_patch is None:
+            patch = jax.random.uniform(
+                kp, (self.patch_size, self.patch_size, 3),
+                minval=-1.0, maxval=1.0)
+        else:
+            patch = jnp.asarray(initial_patch, jnp.float32)
+        scale = jnp.asarray(initial_scale, jnp.float32)
+        opt_state = self.tx.init((scale, patch))
+        return AttackState(patch, scale, opt_state,
+                           jnp.asarray(0, jnp.int32), ks)
+
+    # -- model passes --------------------------------------------------------
+    def _forward(self, images: jnp.ndarray):
+        cls_out, box_out = self.net.apply(self.det_variables, images, False)
+        return postprocess.pre_nms(self._params_dict, cls_out, box_out)
+
+    def _nms(self, boxes: jnp.ndarray, masked_scores: jnp.ndarray):
+        """Top-k candidate select + padded NMS (attacker.py:143-170)."""
+        k = min(self.pre_nms_topk, masked_scores.shape[1])
+        top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        res = nms_ops.batched_nms(top_boxes, top_scores, **self.nms_kwargs)
+        clipped = postprocess.clip_boxes(res.boxes, self.image_hw)
+        return clipped, res.scores, res.valid
+
+    def first_pass(self, images: jnp.ndarray):
+        """Clean pass -> NMS'd person boxes, padded (attacker.py:91-116)."""
+        boxes, scores, classes = self._forward(images)
+        cond = filter_valid_boxes(scores, boxes, classes, self.image_hw,
+                                  self.score_thresh)
+        masked = jnp.where(cond, scores, NEG_INF)
+        return self._nms(boxes, masked)
+
+    def second_pass_scores(self, images: jnp.ndarray):
+        """Patched pass -> masked person anchor scores [B, A]
+        (attacker.py:118-141; thresh filter off)."""
+        boxes, scores, classes = self._forward(images)
+        cond = filter_valid_boxes(scores, boxes, classes, self.image_hw,
+                                  score_thresh=None)
+        masked = jnp.where(cond, scores, NEG_INF)
+        return boxes, masked
+
+    # -- ASR (attacker.py:238-263) ------------------------------------------
+    @staticmethod
+    def calc_asr(clean_scores, clean_valid, adv_scores, adv_valid,
+                 score_thresh: float = 0.5) -> jnp.ndarray:
+        n_clean = jnp.sum((clean_scores >= score_thresh) & clean_valid)
+        n_adv = jnp.sum((adv_scores >= score_thresh) & adv_valid)
+        return 1.0 - n_adv.astype(jnp.float32) / (
+            n_clean.astype(jnp.float32) + 1e-7)
+
+    # -- loss ------------------------------------------------------------
+    def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key):
+        patched, _ = eot.apply_patches(
+            key, images, boxes, boxes_valid, patch, scale,
+            tolerance=self.tolerance)
+        adv_boxes, adv_masked = self.second_pass_scores(patched)
+        max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
+        scale_losses = (max_scores - scale) ** 2
+        tv = eot.total_variation(patch)
+        loss = jnp.sum(max_scores ** 2 + scale_losses) + 1e-5 * tv
+        aux = dict(max_scores=max_scores, scale_losses=scale_losses,
+                   tv=tv, adv_boxes=adv_boxes, adv_masked=adv_masked)
+        return loss, aux
+
+    # -- steps -------------------------------------------------------------
+    def train_step(self, state: AttackState, images: jnp.ndarray
+                   ) -> Tuple[AttackState, StepMetrics]:
+        """One SPMD attack step. jit/pjit me."""
+        key, k_eot, k_next = jax.random.split(state.key, 3)
+        del key
+        boxes, clean_scores, clean_valid = self.first_pass(images)
+        boxes = jax.lax.stop_gradient(boxes[:, :self.max_boxes])
+        boxes_valid = clean_valid[:, :self.max_boxes]
+
+        def loss_fn(trainables):
+            scale, patch = trainables
+            return self._loss_from_images(patch, scale, images, boxes,
+                                          boxes_valid, k_eot)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.scale, state.patch))
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            (state.scale, state.patch))
+        scale, patch = optax.apply_updates((state.scale, state.patch), updates)
+        # variable constraints (attacker.py:51-54)
+        patch = jnp.clip(patch, -1.0, 1.0)
+        scale = jnp.clip(scale, 0.0, 1.0)
+
+        metrics = self._metrics(loss, scale, aux, clean_scores, clean_valid)
+        new_state = AttackState(patch, scale, opt_state, state.step + 1,
+                                k_next)
+        return new_state, metrics
+
+    def eval_step(self, state: AttackState, images: jnp.ndarray
+                  ) -> StepMetrics:
+        key, k_eot = jax.random.split(state.key)
+        del key
+        boxes, clean_scores, clean_valid = self.first_pass(images)
+        boxes = boxes[:, :self.max_boxes]
+        boxes_valid = clean_valid[:, :self.max_boxes]
+        loss, aux = self._loss_from_images(state.patch, state.scale, images,
+                                           boxes, boxes_valid, k_eot)
+        return self._metrics(loss, state.scale, aux, clean_scores, clean_valid)
+
+    def _metrics(self, loss, scale, aux, clean_scores, clean_valid
+                 ) -> StepMetrics:
+        _, adv_nms_scores, adv_nms_valid = self._nms(aux["adv_boxes"],
+                                                     aux["adv_masked"])
+        asr = self.calc_asr(clean_scores, clean_valid, adv_nms_scores,
+                            adv_nms_valid)
+        return StepMetrics(
+            loss=loss,
+            scale=scale,
+            scale_loss=jnp.sum(aux["scale_losses"]),
+            tv_loss=aux["tv"],
+            mean_max_score=jnp.mean(aux["max_scores"]),
+            std_max_score=jnp.std(aux["max_scores"]),
+            asr=asr,
+            asr_to_scale=asr / (scale + 1e-7),
+        )
+
+    def asr_curve(self, state: AttackState, images: jnp.ndarray,
+                  thresholds) -> jnp.ndarray:
+        """ASR at a vector of score thresholds (attacker.py:66-67,277-283);
+        run rarely, host-side plotting consumes the result."""
+        key, k_eot = jax.random.split(state.key)
+        del key
+        boxes, clean_scores, clean_valid = self.first_pass(images)
+        patched, _ = eot.apply_patches(
+            k_eot, images, boxes[:, :self.max_boxes],
+            clean_valid[:, :self.max_boxes], state.patch, state.scale,
+            tolerance=self.tolerance)
+        adv_boxes, adv_masked = self.second_pass_scores(patched)
+        _, adv_scores, adv_valid = self._nms(adv_boxes, adv_masked)
+
+        def one(t):
+            return self.calc_asr(clean_scores, clean_valid, adv_scores,
+                                 adv_valid, t)
+        return jax.vmap(one)(jnp.asarray(thresholds))

@@ -1,0 +1,181 @@
+"""Self-supervised patch-attack defender training core.
+
+Behavioral parity with reference attack_detection.py:30-318
+(`PatchAttackDefender`):
+  - clean pass through the FROZEN protege detector -> person boxes
+    (attack_detection.py:94-127; layers frozen at 46-47)
+  - Masker plants patches and emits targets (429-430)
+  - updates = 2 * antipatch(images); loss = sum_b mean((targets - updates)^2)
+    (attack_detection.py:190-193)
+  - eval mode: the real adversarial patch is planted, and a second detector
+    pass at score_thresh 0 measures deterioration (186-187)
+
+TPU-first: one jitted train step; the U-Net's params/batch-stats are the
+only trainables; the detector graph is shared with the attack module.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.efficientdet import EfficientDetNet, spec_from_config
+from ..models.unet import PatchNeutralizer
+from ..ops import nms as nms_ops
+from ..ops import postprocess
+from . import masker as masker_lib
+from ..attack.attacker import filter_valid_boxes, NEG_INF
+
+
+class DefenderState(NamedTuple):
+    params: Any          # U-Net params
+    batch_stats: Any     # U-Net BN stats
+    opt_state: Any
+    step: jnp.ndarray
+    key: jax.Array
+
+
+class DefenderMetrics(NamedTuple):
+    loss: jnp.ndarray
+    # mean clean/adv/recovered detection scores for observability
+    mean_clean_score: jnp.ndarray
+    mean_adv_score: jnp.ndarray
+
+
+class PatchAttackDefender:
+    """Factory for jitted defender train/eval steps."""
+
+    def __init__(self, config, det_variables, *, eval_patch=None,
+                 eval_scale: float = 0.4, learning_rate: float = 1e-2,
+                 n_filters: int = 8):
+        self.config = config
+        self.spec = spec_from_config(config)
+        self.net = EfficientDetNet(self.spec)
+        self.det_variables = det_variables
+        self.unet = PatchNeutralizer(n_filters=n_filters)
+        self.tx = optax.adam(learning_rate)
+        self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)
+        self.image_hw = self.spec.image_size
+        nms_cfg = config.nms_configs
+        self.nms_kwargs = postprocess.nms_kwargs_from_config(nms_cfg)
+        self.pre_nms_topk = int(nms_cfg.get("pre_nms_topk") or 1024)
+        self.score_thresh = float(nms_cfg.get("score_thresh") or 0.0)
+        self._params_dict = config.as_dict()
+        self.eval_patch = (jnp.asarray(eval_patch, jnp.float32)
+                           if eval_patch is not None else None)
+        self.eval_scale = eval_scale
+
+    def init_state(self, key: jax.Array) -> DefenderState:
+        k_init, k_state = jax.random.split(key)
+        dummy = jnp.zeros((1, *self.image_hw, 3), jnp.float32)
+        variables = self.unet.init({"params": k_init}, dummy, False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return DefenderState(params, batch_stats, self.tx.init(params),
+                             jnp.asarray(0, jnp.int32), k_state)
+
+    # -- detector pass (attack_detection.py:94-127) -----------------------
+    def odet_boxes(self, images: jnp.ndarray, score_thresh=None):
+        """Person boxes after NMS; returns ([B,M,4], scores [B,M], valid)."""
+        cls_out, box_out = self.net.apply(self.det_variables, images, False)
+        boxes, scores, classes = postprocess.pre_nms(self._params_dict,
+                                                     cls_out, box_out)
+        person = classes == 0
+        masked = jnp.where(person, scores, NEG_INF)
+        k = min(self.pre_nms_topk, masked.shape[1])
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        kw = dict(self.nms_kwargs)
+        if score_thresh is not None:
+            kw["score_thresh"] = score_thresh
+        res = nms_ops.batched_nms(top_boxes, top_scores, **kw)
+        nms_boxes = postprocess.clip_boxes(res.boxes, self.image_hw)
+        # post-NMS validity filter (attack_detection.py:123-127)
+        cond = filter_valid_boxes(
+            res.scores, nms_boxes, jnp.zeros_like(res.scores, jnp.int32),
+            self.image_hw,
+            self.score_thresh if score_thresh is None else score_thresh)
+        valid = res.valid & cond
+        return nms_boxes, res.scores, valid
+
+    # -- loss --------------------------------------------------------------
+    def _unet_apply(self, params, batch_stats, images, training: bool,
+                    dropout_key=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": dropout_key} if dropout_key is not None else None
+        if training:
+            out, mutated = self.unet.apply(
+                variables, images, True, rngs=rngs, mutable=["batch_stats"])
+            return out, mutated["batch_stats"]
+        return self.unet.apply(variables, images, False), batch_stats
+
+    def train_step(self, state: DefenderState, images: jnp.ndarray
+                   ) -> Tuple[DefenderState, DefenderMetrics]:
+        k_mask, k_drop, k_next = jax.random.split(state.key, 3)
+        boxes, clean_scores, clean_valid = self.odet_boxes(images)
+        boxes = boxes[:, :self.max_boxes]
+        boxes_valid = clean_valid[:, :self.max_boxes]
+
+        patched, targets = masker_lib.apply_masker(
+            k_mask, images, boxes, boxes_valid, training=True)
+        b = images.shape[0]
+        flat_targets = targets.reshape(b, -1)
+
+        def loss_fn(params):
+            updates, new_stats = self._unet_apply(
+                params, state.batch_stats, patched, True, k_drop)
+            flat_updates = (2.0 * updates).reshape(b, -1)
+            loss = jnp.sum(jnp.mean((flat_targets - flat_updates) ** 2, axis=1))
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        mean_clean = _masked_mean(clean_scores, clean_valid)
+        metrics = DefenderMetrics(loss, mean_clean, jnp.asarray(0.0))
+        return DefenderState(params, new_stats, opt_state, state.step + 1,
+                             k_next), metrics
+
+    def eval_step(self, state: DefenderState, images: jnp.ndarray
+                  ) -> DefenderMetrics:
+        """Eval: plant the real adversarial patch, measure recovery loss
+        (attack_detection.py:168-206, training=False branch)."""
+        assert self.eval_patch is not None
+        k_mask, _ = jax.random.split(state.key)
+        boxes, _, valid = self.odet_boxes(images)
+        boxes = boxes[:, :self.max_boxes]
+        boxes_valid = valid[:, :self.max_boxes]
+        patched, targets = masker_lib.apply_masker(
+            k_mask, images, boxes, boxes_valid, training=False,
+            adv_patch=self.eval_patch, adv_scale=self.eval_scale)
+        # second detector pass at score_thresh 0 (attack_detection.py:186-187)
+        _, adv_scores, adv_valid = self.odet_boxes(patched, score_thresh=0.0)
+
+        updates, _ = self._unet_apply(state.params, state.batch_stats,
+                                      patched, False)
+        b = images.shape[0]
+        flat_targets = targets.reshape(b, -1)
+        flat_updates = (2.0 * updates).reshape(b, -1)
+        loss = jnp.sum(jnp.mean((flat_targets - flat_updates) ** 2, axis=1))
+
+        return DefenderMetrics(
+            loss,
+            _masked_mean(adv_scores, adv_valid),
+            _masked_mean(adv_scores, adv_valid))
+
+    def recover(self, state: DefenderState, images: jnp.ndarray) -> jnp.ndarray:
+        """Neutralize patches: clip(image + 2*unet(image)) (demo_v2.py:151-169,
+        attack_detection vis at 262)."""
+        updates, _ = self._unet_apply(state.params, state.batch_stats,
+                                      images, False)
+        return jnp.clip(images + 2.0 * updates, -1.0, 1.0)
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / (jnp.sum(m) + 1e-7)
