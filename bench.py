@@ -1,0 +1,77 @@
+"""Benchmark harness: adversarial-patch training throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: attack-training images/sec/chip on the reference's headline
+workload — efficientdet-lite4 victim at 640x640, batch 12, the full
+two-pass + EOT-composite + backward step (attacker_train.py:45,57).
+
+Baseline: the reference publishes no attack-training throughput
+(BASELINE.md). The vs_baseline denominator is an estimate of the TF 2.8
+single-GPU (V100-class) pipeline derived from the vendored automl numbers:
+EfficientDet-D2@640 single-image inference is 14.8 ms on V100
+(automl/efficientdet/README.md:106; lite4@640 has comparable FLOPs). One
+attack step = 2 forwards + 1 backward (~2x forward) ~= 4 forward-equivalents
+plus the serial per-person while_loop patcher => <= ~17 img/s. We use
+17 img/s; see BENCH_NOTES.md for the derivation.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMG_PER_SEC = 17.0
+
+
+def bench_attack_train(model_name: str = "efficientdet-lite4",
+                       batch_size: int = 12, iters: int = 10,
+                       warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    import mladversarialobjectdetection_tpu as mad
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    from mladversarialobjectdetection_tpu.models.efficientdet import (
+        EfficientDetNet, spec_from_config)
+
+    config = mad.get_efficientdet_config(model_name)
+    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    spec = spec_from_config(config)
+    net = EfficientDetNet(spec)
+    x = jnp.zeros((1, *spec.image_size, 3))
+    variables = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(0)}, x, training=False)
+
+    attacker = PatchAttacker(config, variables)
+    state = attacker.init_state(jax.random.PRNGKey(1))
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (batch_size, *spec.image_size, 3),
+        minval=-1.0, maxval=1.0)
+
+    train_step = jax.jit(attacker.train_step, donate_argnums=0)
+    for _ in range(warmup):
+        state, metrics = train_step(state, images)
+    jax.block_until_ready(state.patch)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, images)
+    jax.block_until_ready(state.patch)
+    dt = time.perf_counter() - t0
+    n_chips = max(1, jax.local_device_count())
+    return batch_size * iters / dt / n_chips
+
+
+def main():
+    ips = bench_attack_train()
+    print(json.dumps({
+        "metric": "attack_train_images_per_sec_per_chip_lite4_640",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

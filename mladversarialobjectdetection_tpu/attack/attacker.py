@@ -89,7 +89,11 @@ class PatchAttacker:
         self.patch_size = patch_size
         self.image_hw = self.spec.image_size
         self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)
-        self.tx = optax.adam(learning_rate)
+        # inject_hyperparams makes learning_rate part of opt_state so the
+        # host-side ReduceLROnPlateau controller can adjust it
+        # (attacker_train.py:70's callback equivalent)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate)
         nms_cfg = config.nms_configs
         self.nms_kwargs = postprocess.nms_kwargs_from_config(nms_cfg)
         self.pre_nms_topk = int(nms_cfg.get("pre_nms_topk") or 1024)

@@ -1,0 +1,181 @@
+"""Attack training driver (entry point).
+
+Behavioral parity with reference attacker_train.py:20-76: victim =
+efficientdet-lite4, NMS override iou .5 / score .5, Adam lr 1e-2, 500
+epochs, batch 12, per-epoch artifacts in dirs named
+`patch_{epoch}_{val_asr_to_scale:.4f}`, ReduceLROnPlateau(.5, min 1e-4,
+patience 50) on val loss.
+
+TPU-native: a data-parallel mesh (all visible chips), jitted SPMD train
+step with donated state, host-side prefetch of the input pipeline.
+
+Usage:
+    python -m mladversarialobjectdetection_tpu.attack.train \
+        --img-dir train_eval --epochs 500 --batch-size 12
+    (falls back to synthetic data with --synthetic for smoke runs)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from .. import config as config_lib
+from ..ckpt import io as ckpt_io
+from ..data import pipeline
+from ..models.efficientdet import EfficientDetNet, spec_from_config
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.log import get_logger
+from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
+from . import artifacts
+from .attacker import PatchAttacker
+
+logger = get_logger(__name__)
+
+
+def get_victim_variables(config, ckpt_path=None, *, seed: int = 0):
+    """Build (and optionally restore) the frozen victim detector variables.
+
+    Reference: util.get_victim_model (util.py:177-189) + restore_ckpt."""
+    spec = spec_from_config(config)
+    net = EfficientDetNet(spec)
+    dummy = np.zeros((1, *spec.image_size, 3), np.float32)
+    variables = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(seed)}, dummy, training=False)
+    if ckpt_path:
+        restored = ckpt_io.load_pytree(ckpt_path)
+        variables = jax.tree.map(lambda _, r: r, variables, restored)
+        logger.info(f"restored victim detector from {ckpt_path}")
+    return variables
+
+
+def train(model_name: str = "efficientdet-lite4", *,
+          img_dir: str | None = None, label_dir: str | None = None,
+          victim_ckpt: str | None = None, save_dir: str = "save_dir",
+          batch_size: int = 12, epochs: int = 500, lr: float = 1e-2,
+          steps_per_epoch: int | None = None, initial_patch: str | None = None,
+          synthetic: bool = False, image_size=None, seed: int = 42,
+          visualize_freq: int = 200):
+    config = config_lib.get_efficientdet_config(model_name)
+    # attack-time NMS override (attacker_train.py:31)
+    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    if image_size is not None:
+        config.image_size = image_size
+
+    det_vars = get_victim_variables(config, victim_ckpt)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    logger.info(f"mesh over {n_dev} device(s); global batch {batch_size}")
+
+    attacker = PatchAttacker(config, det_vars, learning_rate=lr)
+    key = jax.random.PRNGKey(seed)
+    if initial_patch:
+        patch_np, scale0 = artifacts.load_patch_dir(initial_patch)
+        state = attacker.init_state(key, initial_patch=patch_np,
+                                    initial_scale=scale0)
+    else:
+        state = attacker.init_state(key)
+    state = replicate(mesh, state)
+    det_vars = replicate(mesh, det_vars)
+    attacker.det_variables = det_vars
+
+    train_step = jax.jit(attacker.train_step, donate_argnums=0)
+    eval_step = jax.jit(attacker.eval_step)
+
+    # data
+    if synthetic or img_dir is None:
+        logger.info("using synthetic data")
+        train_iter = pipeline.synthetic_batches(batch_size, config.image_size,
+                                                seed=seed)
+        val_iter = pipeline.synthetic_batches(batch_size, config.image_size,
+                                              seed=seed + 1)
+        spe = steps_per_epoch or 50
+        val_steps = 5
+    else:
+        parts = pipeline.partition(config, img_dir, label_dir,
+                                   batch_size=batch_size, filter_data=False,
+                                   seed=seed)
+        train_iter = parts["train"]["source"].repeat_batches(batch_size)
+        val_iter = parts["val"]["source"].repeat_batches(batch_size)
+        spe = steps_per_epoch or parts["train"]["length"]
+        val_steps = parts["val"]["length"]
+
+    put = lambda b: shard_batch(mesh, b)
+    train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
+    val_iter = pipeline.prefetch(val_iter, device_put_fn=put)
+
+    os.makedirs(save_dir, exist_ok=True)
+    mlog = MetricLogger(os.path.join(save_dir, "logs"))
+    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
+    best_val_loss = float("inf")
+    thr = Throughput()
+    aug_key = jax.random.PRNGKey(seed + 2)
+
+    step = 0
+    for epoch in range(epochs):
+        thr.start()
+        for _ in range(spe):
+            batch = next(train_iter)
+            aug_key, k = jax.random.split(aug_key)
+            batch = pipeline.augment_batch(k, batch)
+            state, metrics = train_step(state, batch)
+            thr.count(batch_size)
+            step += 1
+            if step % 50 == 0:
+                mlog.log(step, metrics._asdict(), prefix="train/")
+        ips = thr.rate()
+
+        # validation
+        val_metrics = []
+        for _ in range(val_steps):
+            val_metrics.append(eval_step(state, next(val_iter)))
+        val = {k: float(np.mean([float(getattr(m, k)) for m in val_metrics]))
+               for k in val_metrics[0]._fields}
+        mlog.log(step, val, prefix="val/")
+        mlog.log(step, {"images_per_sec": ips, "epoch": epoch})
+        logger.info(
+            f"epoch {epoch}: val_loss={val['loss']:.4f} "
+            f"asr={val['asr']:.3f} scale={val['scale']:.3f} "
+            f"asr_to_scale={val['asr_to_scale']:.4f} {ips:.1f} img/s")
+
+        # artifacts: dir per epoch (attacker_train.py:49-56 format)
+        dirname = os.path.join(save_dir,
+                               f"patch_{epoch:02d}_{val['asr_to_scale']:.4f}")
+        if val["loss"] < best_val_loss:
+            best_val_loss = val["loss"]
+            artifacts.save_patch_dir(dirname, np.asarray(state.patch),
+                                     float(state.scale),
+                                     config.mean_rgb, config.stddev_rgb)
+        new_opt = plateau.update(val["loss"], state.opt_state)
+        state = state._replace(opt_state=new_opt)
+    mlog.close()
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser(description="adversarial patch attack training")
+    p.add_argument("--model", default="efficientdet-lite4")
+    p.add_argument("--img-dir", default=None)
+    p.add_argument("--label-dir", default=None)
+    p.add_argument("--victim-ckpt", default=None)
+    p.add_argument("--save-dir", default="save_dir")
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--initial-patch", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--image-size", type=int, default=None)
+    args = p.parse_args()
+    train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
+          victim_ckpt=args.victim_ckpt, save_dir=args.save_dir,
+          batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+          steps_per_epoch=args.steps_per_epoch,
+          initial_patch=args.initial_patch, synthetic=args.synthetic,
+          image_size=args.image_size)
+
+
+if __name__ == "__main__":
+    main()

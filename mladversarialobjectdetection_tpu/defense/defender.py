@@ -56,7 +56,8 @@ class PatchAttackDefender:
         self.net = EfficientDetNet(self.spec)
         self.det_variables = det_variables
         self.unet = PatchNeutralizer(n_filters=n_filters)
-        self.tx = optax.adam(learning_rate)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate)
         self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)
         self.image_hw = self.spec.image_size
         nms_cfg = config.nms_configs

@@ -1,0 +1,152 @@
+"""Defender training driver (entry point).
+
+Behavioral parity with reference defender_train.py:20-74: protege =
+efficientdet-lite4, eval patch loaded from an attack artifact dir, Adam
+1e-2, 200 epochs, batch 24, data filtered by label constraints
+(filter_data=True), artifacts per epoch in `patch_{epoch}_{val_loss:.4f}`.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from .. import config as config_lib
+from ..attack import artifacts
+from ..attack.train import get_victim_variables
+from ..ckpt import io as ckpt_io
+from ..data import pipeline
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.log import get_logger
+from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
+from .defender import PatchAttackDefender
+
+logger = get_logger(__name__)
+
+
+def train(model_name: str = "efficientdet-lite4", *,
+          img_dir: str | None = None, label_dir: str | None = None,
+          victim_ckpt: str | None = None, eval_patch: str | None = None,
+          save_dir: str = "save_dir_def", batch_size: int = 24,
+          epochs: int = 200, lr: float = 1e-2,
+          steps_per_epoch: int | None = None,
+          initial_weights: str | None = None, synthetic: bool = False,
+          image_size=None, seed: int = 43):
+    config = config_lib.get_efficientdet_config(model_name)
+    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    if image_size is not None:
+        config.image_size = image_size
+
+    det_vars = get_victim_variables(config, victim_ckpt)
+    mesh = make_mesh()
+
+    if eval_patch:
+        patch_np, scale = artifacts.load_patch_dir(eval_patch)
+    else:
+        logger.warning("no eval_patch given; using a random patch for eval")
+        patch_np = np.random.default_rng(0).uniform(
+            -1, 1, size=(640, 640, 3)).astype(np.float32)
+        scale = 0.4
+
+    defender = PatchAttackDefender(config, det_vars, eval_patch=patch_np,
+                                   eval_scale=scale, learning_rate=lr)
+    state = defender.init_state(jax.random.PRNGKey(seed))
+    if initial_weights:
+        restored = ckpt_io.load_pytree(initial_weights)
+        state = state._replace(params=restored["params"],
+                               batch_stats=restored["batch_stats"])
+    state = replicate(mesh, state)
+    defender.det_variables = replicate(mesh, det_vars)
+
+    train_step = jax.jit(defender.train_step, donate_argnums=0)
+    eval_step = jax.jit(defender.eval_step)
+
+    if synthetic or img_dir is None:
+        logger.info("using synthetic data")
+        train_iter = pipeline.synthetic_batches(batch_size, config.image_size,
+                                                seed=seed)
+        val_iter = pipeline.synthetic_batches(batch_size, config.image_size,
+                                              seed=seed + 1)
+        spe = steps_per_epoch or 50
+        val_steps = 5
+    else:
+        parts = pipeline.partition(config, img_dir, label_dir,
+                                   batch_size=batch_size, filter_data=True,
+                                   seed=seed)
+        train_iter = parts["train"]["source"].repeat_batches(batch_size)
+        val_iter = parts["val"]["source"].repeat_batches(batch_size)
+        spe = steps_per_epoch or parts["train"]["length"]
+        val_steps = parts["val"]["length"]
+
+    put = lambda b: shard_batch(mesh, b)
+    train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
+    val_iter = pipeline.prefetch(val_iter, device_put_fn=put)
+
+    os.makedirs(save_dir, exist_ok=True)
+    mlog = MetricLogger(os.path.join(save_dir, "logs"))
+    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
+    best_val = float("inf")
+    thr = Throughput()
+    aug_key = jax.random.PRNGKey(seed + 2)
+    step = 0
+    for epoch in range(epochs):
+        thr.start()
+        for _ in range(spe):
+            batch = next(train_iter)
+            aug_key, k = jax.random.split(aug_key)
+            batch = pipeline.augment_batch(k, batch)
+            state, metrics = train_step(state, batch)
+            thr.count(batch_size)
+            step += 1
+            if step % 50 == 0:
+                mlog.log(step, metrics._asdict(), prefix="train/")
+        ips = thr.rate()
+
+        vals = [eval_step(state, next(val_iter)) for _ in range(val_steps)]
+        val_loss = float(np.mean([float(v.loss) for v in vals]))
+        mlog.log(step, {"loss": val_loss, "images_per_sec": ips,
+                        "epoch": epoch}, prefix="val/")
+        logger.info(f"epoch {epoch}: val_loss={val_loss:.4f} {ips:.1f} img/s")
+
+        if val_loss < best_val:
+            best_val = val_loss
+            out = os.path.join(save_dir, f"patch_{epoch:02d}_{val_loss:.4f}",
+                               "antipatch")
+            ckpt_io.save_pytree(out, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        new_opt = plateau.update(val_loss, state.opt_state)
+        state = state._replace(opt_state=new_opt)
+    mlog.close()
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser(description="patch-attack defender training")
+    p.add_argument("--model", default="efficientdet-lite4")
+    p.add_argument("--img-dir", default=None)
+    p.add_argument("--label-dir", default=None)
+    p.add_argument("--victim-ckpt", default=None)
+    p.add_argument("--eval-patch", default=None,
+                   help="attack artifact dir with patch.npy + scale.txt")
+    p.add_argument("--save-dir", default="save_dir_def")
+    p.add_argument("--batch-size", type=int, default=24)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--initial-weights", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--image-size", type=int, default=None)
+    args = p.parse_args()
+    train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
+          victim_ckpt=args.victim_ckpt, eval_patch=args.eval_patch,
+          save_dir=args.save_dir, batch_size=args.batch_size,
+          epochs=args.epochs, lr=args.lr,
+          steps_per_epoch=args.steps_per_epoch,
+          initial_weights=args.initial_weights, synthetic=args.synthetic,
+          image_size=args.image_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Single-frame serving detector wrapper.
+
+Behavioral parity with reference detector.py:19-72 (`Detector`): raw frame
+in -> person boxes + scores out, with all pre/post-processing handled
+internally (infer_lib.KerasDriver.serve equivalent, infer_lib.py:383-421).
+
+TPU-first: host-side preprocessing produces a fixed-shape normalized frame
+and a scale; the forward + postprocess is one cached jitted program per
+input signature.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as config_lib
+from ..ckpt import io as ckpt_io
+from ..models.efficientdet import EfficientDetNet, spec_from_config
+from ..ops import postprocess
+from ..ops.preprocess import preprocess_host
+from ..utils.log import get_logger
+
+logger = get_logger(__name__)
+
+
+class Detector:
+    """Inference with the EfficientDet person detector."""
+
+    def __init__(self, *, model_name: str = "efficientdet-lite4",
+                 params=None, ckpt_path: str | None = None, seed: int = 0):
+        """
+        Args:
+          model_name: efficientdet variant.
+          params: config override dict (e.g. {'nms_configs': {...}},
+            detector.py:90-92 usage).
+          ckpt_path: native checkpoint (ckpt/io.py) for the detector
+            variables; random init if None.
+        """
+        self.config = config_lib.get_efficientdet_config(model_name)
+        if params:
+            self.config.override(params, allow_new_keys=False)
+        self.spec = spec_from_config(self.config)
+        self.net = EfficientDetNet(self.spec)
+        dummy = np.zeros((1, *self.spec.image_size, 3), np.float32)
+        self.variables = jax.jit(self.net.init, static_argnames=("training",))(
+            {"params": jax.random.PRNGKey(seed)}, dummy, training=False)
+        if ckpt_path:
+            restored = ckpt_io.load_pytree(ckpt_path)
+            self.variables = jax.tree.map(lambda _, r: r, self.variables,
+                                          restored)
+        self._params_dict = self.config.as_dict()
+        self._serve = jax.jit(self._serve_impl)
+
+    def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
+                    ) -> postprocess.Detections:
+        cls_out, box_out = self.net.apply(self.variables, images, False)
+        return postprocess.postprocess_global(self._params_dict, cls_out,
+                                              box_out, image_scales=scales)
+
+    def serve(self, raw_frames: np.ndarray) -> postprocess.Detections:
+        """Batch of raw RGB frames -> padded Detections in original coords."""
+        imgs, scales = zip(*[
+            preprocess_host(f, self.config.image_size, self.config.mean_rgb,
+                            self.config.stddev_rgb) for f in raw_frames])
+        images = jnp.asarray(np.stack(imgs))
+        return jax.tree.map(np.asarray,
+                            self._serve(images, jnp.asarray(scales)))
+
+    def infer(self, frame: np.ndarray, max_boxes: int = 200
+              ) -> Tuple[List[tuple], List[float]]:
+        """Person detections for one raw frame (detector.py:35-60)."""
+        det = self.serve(np.asarray(frame)[None])
+        boxes, scores, classes, valid = (det.boxes[0], det.scores[0],
+                                         det.classes[0], det.valid[0])
+        bb, sc = [], []
+        for i in range(boxes.shape[0]):
+            if len(bb) == max_boxes:
+                break
+            if valid[i] and classes[i] == 1:  # person after CLASS_OFFSET
+                bb.append(tuple(boxes[i].tolist()))
+                sc.append(float(scores[i]))
+        return bb, sc
+
+    def __call__(self, frame: np.ndarray) -> np.ndarray:
+        """Draw person detections over the frame (detector.py:62-72)."""
+        from ..demo import draw
+        bb, sc = self.infer(frame)
+        thresh = self.config.nms_configs.score_thresh or 0.0
+        bb, sc = draw.filter_by_thresh(bb, sc, thresh)
+        return draw.draw_boxes(frame, bb, sc)

@@ -22,19 +22,33 @@ _RGB2YUV = jnp.array([
     [0.114, 0.43601035, -0.10001026],
 ], dtype=jnp.float32)
 
-_YUV2RGB = jnp.array([
-    [1.0, 1.0, 1.0],
-    [0.0, -0.394642334, 2.03206185],
-    [1.13988303, -0.58062185, 0.0],
-], dtype=jnp.float32)
+# exact inverse (tf's published yuv_to_rgb kernel is only a ~3-decimal
+# approximation of it; the exact inverse keeps roundtrips lossless).
+# computed in numpy at import: images are row-vectors (img @ M), so the
+# inverse map uses plain matrix inverse.
+import numpy as _np  # noqa: E402
+
+_YUV2RGB = jnp.asarray(_np.linalg.inv(_np.asarray(_RGB2YUV, _np.float64))
+                       .astype(_np.float32))
+
+
+def _apply_color_matrix(img: jnp.ndarray, m) -> jnp.ndarray:
+    """Channel mix as elementwise FMAs: full fp32 on the VPU (a 3x3 matmul
+    would hit the MXU at bf16 default precision and cost ~5e-3 error)."""
+    m = _np.asarray(m, _np.float32)
+    c0, c1, c2 = img[..., 0], img[..., 1], img[..., 2]
+    return jnp.stack([
+        c0 * float(m[0, j]) + c1 * float(m[1, j]) + c2 * float(m[2, j])
+        for j in range(3)
+    ], axis=-1)
 
 
 def rgb_to_yuv(img: jnp.ndarray) -> jnp.ndarray:
-    return img @ _RGB2YUV.astype(img.dtype)
+    return _apply_color_matrix(img, _RGB2YUV)
 
 
 def yuv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
-    return img @ _YUV2RGB.astype(img.dtype)
+    return _apply_color_matrix(img, _YUV2RGB)
 
 
 def _rescale_0_1(img: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,96 @@
+"""Shared training-loop utilities: LR plateau control, metric logging,
+throughput tracking.
+
+Parity targets: ReduceLROnPlateau(factor=.5, patience=50, min_lr=1e-4)
+(attacker_train.py:70-72), TensorBoard steps/sec logging
+(attacker_train.py:39-41) and best-checkpoint selection by monitored metric
+(attacker_train.py:49-56). Visualization (ASR curves / violin plots) runs
+host-side on fetched metrics — the reference's matplotlib-in-graph tfplot
+hack (attacker.py:221-236) has no place in a jitted program.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller mutating an optax
+    inject_hyperparams state."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 50,
+                 min_lr: float = 1e-4, mode: str = "min"):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.mode = mode
+        self.best = float("inf") if mode == "min" else -float("inf")
+        self.wait = 0
+
+    def update(self, metric: float, opt_state) -> Any:
+        """Returns the (possibly modified) opt_state."""
+        improved = (metric < self.best) if self.mode == "min" else (
+            metric > self.best)
+        if improved:
+            self.best = metric
+            self.wait = 0
+            return opt_state
+        self.wait += 1
+        if self.wait >= self.patience:
+            self.wait = 0
+            lr = float(opt_state.hyperparams["learning_rate"])
+            new_lr = max(lr * self.factor, self.min_lr)
+            opt_state.hyperparams["learning_rate"] = (
+                opt_state.hyperparams["learning_rate"] * 0 + new_lr)
+        return opt_state
+
+
+class MetricLogger:
+    """JSONL metric log + optional TensorBoard (if tensorflow available)."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = False):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(log_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
+        rec = {"step": step, "time": time.time()}
+        rec.update({(prefix + k): float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(prefix + k, float(v), step=step)
+
+    def close(self):
+        self._f.close()
+
+
+class Throughput:
+    """Images/sec tracker (steps-per-second metric equivalent)."""
+
+    def __init__(self):
+        self.t0 = None
+        self.images = 0
+
+    def start(self):
+        self.t0 = time.time()
+        self.images = 0
+
+    def count(self, n: int):
+        self.images += n
+
+    def rate(self) -> float:
+        dt = time.time() - self.t0
+        return self.images / dt if dt > 0 else 0.0

@@ -1,0 +1,69 @@
+"""Detector serving wrapper + postprocess pipeline tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mladversarialobjectdetection_tpu as mad
+from mladversarialobjectdetection_tpu.ops import postprocess
+from mladversarialobjectdetection_tpu.ops.preprocess import (preprocess_host,
+                                                             preprocess_jax)
+
+
+def test_preprocess_host_scale():
+    frame = np.full((100, 50, 3), 255, np.uint8)
+    out, scale_back = preprocess_host(frame, 64, 127.0, 128.0)
+    assert out.shape == (64, 64, 3)
+    assert scale_back == pytest.approx(100 / 64)
+    # content occupies 64 x 32, right half zero-padded
+    assert np.allclose(out[:, 33:, :], 0.0)
+    assert out[:, :31, :].mean() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_preprocess_jax_matches_host():
+    # smooth gradient: isolates scale/pad/normalize parity from the
+    # resize-kernel difference (cv2 INTER_LINEAR vs jax antialiased bilinear)
+    yy, xx = np.meshgrid(np.arange(80), np.arange(60), indexing="ij")
+    frame = np.stack([yy * 3, xx * 4, yy + xx], -1).astype(np.float32) % 255
+    h, sh = preprocess_host(frame, 64, 127.0, 128.0)
+    j, sj = preprocess_jax(jnp.asarray(frame), 64, 127.0, 128.0)
+    assert float(sj) == pytest.approx(sh)
+    # resize kernels differ slightly (cv2 vs jax bilinear); coarse agreement
+    assert np.abs(np.asarray(j) - h).mean() < 0.05
+
+
+def test_postprocess_global_shapes(tiny_detector, rand_images):
+    cfg, spec, net, variables = tiny_detector
+    cls_out, box_out = jax.jit(lambda v, x: net.apply(v, x, False))(
+        variables, rand_images)
+    params = cfg.as_dict()
+    det = jax.jit(lambda c, b: postprocess.postprocess_global(
+        params, c, b, image_scales=jnp.asarray([2.0, 2.0])))(cls_out, box_out)
+    m = cfg.nms_configs.max_output_size
+    assert det.boxes.shape == (2, m, 4)
+    assert det.scores.shape == (2, m)
+    assert det.classes.shape == (2, m)
+    # classes offset by 1 where valid
+    v = np.asarray(det.valid)
+    if v.any():
+        assert np.asarray(det.classes)[v].min() >= 1
+    # boxes clipped to 2x image size (scale 2.0)
+    assert float(det.boxes.max()) <= 2 * cfg.image_size + 1e-3
+
+
+def test_detector_infer_end_to_end(tiny_cfg):
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    det = Detector(model_name="efficientdet-lite0",
+                   params={"image_size": 64, "fpn_num_filters": 16,
+                           "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                           "nms_configs": {"score_thresh": 0.0,
+                                           "pre_nms_topk": 64,
+                                           "max_output_size": 16}})
+    frame = (np.random.default_rng(0).uniform(0, 255, (96, 128, 3))
+             .astype(np.uint8))
+    bb, sc = det.infer(frame)
+    assert isinstance(bb, list) and isinstance(sc, list)
+    for b in bb:
+        assert len(b) == 4
+    for s in sc:
+        assert 0.0 <= s <= 1.0

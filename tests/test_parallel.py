@@ -1,0 +1,51 @@
+"""Multi-device sharding tests on the fake 8-chip CPU mesh — the
+distributed coverage the reference never had (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+from mladversarialobjectdetection_tpu.parallel import (batch_sharding,
+                                                       make_mesh, replicate,
+                                                       shard_batch)
+
+
+def test_fake_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh()
+    x = np.zeros((16, 8, 8, 3), np.float32)
+    sx = shard_batch(mesh, x)
+    assert sx.sharding == batch_sharding(mesh)
+    assert sx.addressable_shards[0].data.shape == (2, 8, 8, 3)
+
+
+def test_attack_step_on_mesh(tiny_detector, rand_images):
+    """Full SPMD attack step: batch sharded over 8 devices, state replicated;
+    the result must equal the single-device step (collectives correct)."""
+    cfg, spec, net, variables = tiny_detector
+    attacker = PatchAttacker(cfg, variables, patch_size=32)
+    state = attacker.init_state(jax.random.PRNGKey(0))
+
+    images = jnp.concatenate([rand_images] * 4, axis=0)  # batch 8
+
+    # single device reference
+    st_ref, m_ref = jax.jit(attacker.train_step)(state, images)
+
+    mesh = make_mesh()
+    attacker_sharded = PatchAttacker(cfg, replicate(mesh, variables),
+                                     patch_size=32)
+    st = replicate(mesh, state)
+    imgs = shard_batch(mesh, images)
+    st_out, m_out = jax.jit(attacker_sharded.train_step)(st, imgs)
+
+    assert np.allclose(np.asarray(st_out.patch), np.asarray(st_ref.patch),
+                       atol=1e-5)
+    assert float(m_out.loss) == pytest.approx(float(m_ref.loss), rel=1e-4)
+    # state stays replicated
+    assert st_out.patch.sharding.is_fully_replicated
