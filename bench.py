@@ -26,7 +26,9 @@ BASELINE_IMG_PER_SEC = 17.0
 
 def bench_attack_train(model_name: str = "efficientdet-lite4",
                        batch_size: int = 12, iters: int = 10,
-                       warmup: int = 3) -> float:
+                       warmup: int = 3, verbose: bool = False) -> float:
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +37,12 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     from mladversarialobjectdetection_tpu.models.efficientdet import (
         EfficientDetNet, spec_from_config)
 
+    def log(msg):
+        if verbose:
+            print(f"[bench +{time.perf_counter() - t_start:.0f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
     config = mad.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     spec = spec_from_config(config)
@@ -42,17 +50,25 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     x = jnp.zeros((1, *spec.image_size, 3))
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(0)}, x, training=False)
+    jax.block_until_ready(variables)
+    log("init done")
 
     attacker = PatchAttacker(config, variables)
     state = attacker.init_state(jax.random.PRNGKey(1))
     images = jax.random.uniform(
         jax.random.PRNGKey(2), (batch_size, *spec.image_size, 3),
         minval=-1.0, maxval=1.0)
+    jax.block_until_ready(state.patch)
+    log("state ready; compiling train_step")
 
     train_step = jax.jit(attacker.train_step, donate_argnums=0)
-    for _ in range(warmup):
+    state, metrics = train_step(state, images)
+    jax.block_until_ready(state.patch)
+    log("train_step compiled")
+    for _ in range(warmup - 1):
         state, metrics = train_step(state, images)
     jax.block_until_ready(state.patch)
+    log("warmup done")
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -64,7 +80,8 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
 
 
 def main():
-    ips = bench_attack_train()
+    import os
+    ips = bench_attack_train(verbose=bool(os.environ.get("BENCH_VERBOSE")))
     print(json.dumps({
         "metric": "attack_train_images_per_sec_per_chip_lite4_640",
         "value": round(ips, 2),

@@ -2,51 +2,68 @@
 
 This module re-designs the reference's scatter-based patch application
 (attacker.py:344-498 `Patcher`, attack_detection.py:321-498 `Masker`) as a
-fully static-shape, differentiable **inverse-warp gather composite**:
+fully static-shape, differentiable inverse-warp composite.
 
 Reference (GPU/TF): per image `tf.map_fn`, per person box `tf.while_loop`:
 resize patch to s x s, add noise, random brightness, pad to the rotation
-diagonal with a -2 sentinel, `tfa.image.rotate`, composite where the sentinel
-reveals background, `tensor_scatter_nd_update` into the image — dynamic
-shapes, serial, and scatter-heavy.
+diagonal with a -2 sentinel, `tfa.image.rotate`, composite where the
+sentinel reveals background, `tensor_scatter_nd_update` into the image —
+dynamic shapes, serial, and scatter-heavy.
 
-TPU rebuild: for each of K static patch slots we compute an inverse affine
-map from output-image pixels back into patch-canvas coordinates
-(translate -> rotate about the slot center -> scale), bilinearly sample the
-patch canvas, and blend by a validity mask. vmap over slots' geometry is
-folded into a `lax.fori_loop` over K so later slots overwrite earlier ones —
-exactly the reference's sequential scatter z-order. Everything is fixed
-shape; gradients flow to the patch canvas through bilinear sampling weights.
+TPU rebuild — two backends sharing the same geometry/semantics:
+
+* `matmul` (default, the production path): per patch slot, the
+  scale+rotate+translate inverse warp is decomposed Catmull-Smith style
+  into two 1-D resampling passes, each expressed as a dense einsum against
+  hat-function (triangle-filter) weight tensors generated from iota —
+  **gathers become MXU matmuls**, the canonical TPU transformation. The
+  work happens in a static WxW window around each slot (dynamic_slice in /
+  dynamic_update_slice out), the patch is pre-downsampled once per image to
+  a small canvas (separable matmul resize), and the triangle filter widens
+  with the downscale ratio for antialiasing (the reference's
+  tf.image.resize(antialias=True) + bilinear tfa.rotate combination).
+
+* `gather`: the straightforward per-pixel bilinear gather formulation.
+  Identical geometry; used as a reference implementation in tests (XLA
+  lowers arbitrary gathers to scalar loops on TPU - ~300x slower there).
+
+Sequential compositing over the K slots inside `lax.fori_loop` preserves
+the reference's scatter z-order (later patches overwrite earlier).
 
 Geometry parity (attacker.py:448-488 `Patcher.create`):
   - square side s = floor(max(box_h, box_w) * scale)
-  - rotation-safe region side diag = min(sqrt(2) * s, image_width)
-  - center jittered uniformly +-tolerance * box_{h,w}/2 around the box center
-  - region clamped fully inside the image
+  - rotation-safe region side diag = min(sqrt(2)*s, image_width) — here
+    additionally clamped to the static window size W (default
+    min(image, 512)); only patches covering >0.56 of a full-image box
+    are affected.
+  - center jittered uniformly +-tolerance * box_{h,w}/2 around the box
+    center; region clamped fully inside the image
   - slots with s^2 <= min_patch_area are culled
 
 Randomness parity: print jitter w~N(.5,.1) b~N(0,.01) (attacker.py:365-372),
 sensor noise U(-.01,.01) (attacker.py:427; the Masker uses +-.1,
 attack_detection.py:414), brightness delta U(-.3,.3) (attacker.py:428),
-rotation U(-20deg, 20deg) (attacker.py:436). Noise here is drawn i.i.d. per
+rotation U(-20deg,20deg) (attacker.py:436). Noise is drawn i.i.d. per
 output pixel instead of per pre-rotation patch pixel — statistically
 equivalent for EOT purposes.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from . import color
 
-DEG20 = 20.0 * jnp.pi / 180.0
+DEG20 = 20.0 * float(np.pi) / 180.0
 
 
 class PatchGeometry(NamedTuple):
-    """Static per-slot placement ([K] each unless noted)."""
+    """Per-slot placement ([K] each)."""
     ymin: jnp.ndarray   # region top (float)
     xmin: jnp.ndarray   # region left (float)
     size: jnp.ndarray   # patch square side s (float, floored)
@@ -60,7 +77,8 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
                         img_hw: Tuple[int, int], *,
                         tolerance: float = 0.2,
                         min_patch_area: float = 4.0,
-                        random_scale_range: Tuple[float, float] | None = None
+                        random_scale_range: Tuple[float, float] | None = None,
+                        max_region: Optional[float] = None
                         ) -> PatchGeometry:
     """Compute per-slot patch placement for one image.
 
@@ -72,11 +90,16 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
         random_scale_range is given (defender self-supervised mode draws
         scale ~ U(lo, hi) per slot, attack_detection.py:487-492).
       img_hw: static (H, W).
-      tolerance: center jitter fraction (attack .2, defender train .5, eval 0).
+      tolerance: center jitter fraction (attack .2, defender train .5,
+        eval 0).
       min_patch_area: cull slots below this area in px.
       random_scale_range: optional (lo, hi) per-slot random scale.
+      max_region: clamp for the region side (defaults to image width,
+        matching the reference; the matmul backend passes its static
+        window size).
     """
     h_img, w_img = float(img_hw[0]), float(img_hw[1])
+    region_cap = w_img if max_region is None else min(w_img, float(max_region))
     k = boxes.shape[0]
     k_scale, k_y, k_x, k_a = jax.random.split(key, 4)
 
@@ -96,7 +119,8 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
     scale_k = jax.lax.stop_gradient(scale_k)
 
     size = jnp.floor(longer * scale_k)
-    diag = jnp.minimum(jnp.sqrt(2.0) * size, w_img)
+    size = jnp.minimum(size, region_cap)  # a patch can never exceed the region
+    diag = jnp.minimum(jnp.sqrt(2.0) * size, region_cap)
 
     jy = jax.random.uniform(k_y, (k,), minval=-1.0, maxval=1.0) * (tolerance * h / 2.0)
     jx = jax.random.uniform(k_x, (k,), minval=-1.0, maxval=1.0) * (tolerance * w / 2.0)
@@ -113,23 +137,189 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
     return PatchGeometry(ymin_p, xmin_p, size, diag, angle, valid)
 
 
-def _composite_one_image(image: jnp.ndarray, patch_canvas: jnp.ndarray,
-                         geom: PatchGeometry, key: jax.Array, *,
-                         noise_mag: float, brightness_mag: float
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sequentially composite K patch slots into one [H, W, 3] image.
+# ---------------------------------------------------------------------------
+# canvas pre-downsampling (separable matmul resize with triangle filter)
+# ---------------------------------------------------------------------------
 
-    Returns (patched_image, region_mask [H, W] bool of all patched regions).
+@functools.lru_cache(maxsize=16)
+def _resize_matrix_np(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] antialiased linear-resize matrix (half-pixel centers)."""
+    ratio = n_in / n_out
+    radius = max(ratio, 1.0)
+    out_centers = (np.arange(n_out) + 0.5) * ratio - 0.5
+    dist = np.abs(out_centers[:, None] - np.arange(n_in)[None, :])
+    w = np.maximum(0.0, 1.0 - dist / radius)
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+    return w.astype(np.float32)
+
+
+def downsample_canvas(patch: jnp.ndarray, p0: int) -> jnp.ndarray:
+    """[P, P, 3] -> [p0, p0, 3] separable antialiased resize (two matmuls)."""
+    p = patch.shape[0]
+    if p == p0:
+        return patch
+    r = jnp.asarray(_resize_matrix_np(p0, p))
+    out = jnp.einsum("oi,ijc->ojc", r, patch,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("oj,ijc->ioc", r, out,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# matmul backend: two-pass shear-resample warp in a static window
+# ---------------------------------------------------------------------------
+
+def _hat(dist: jnp.ndarray, radius) -> jnp.ndarray:
+    return jnp.maximum(0.0, 1.0 - jnp.abs(dist) / radius)
+
+
+def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
+    """Sample the rotated+scaled canvas over a [w, w] window.
+
+    canvas: [P0, P0, 3]; oy/ox: window origin (float, traced);
+    geom_i: (ymin, xmin, size, diag, angle) scalars.
+    Returns (sample [w, w, 3], inside [w, w] bool).
+
+    Math: canvas coords (u, v) of output pixel (yo, xo) are affine:
+      u = A*yo + B*xo + Cu,  v = -B*yo + A*xo + Cv
+    (A = cos(angle)*rho, B = sin(angle)*rho, rho = P0/size). Pass 1
+    resamples along the canvas minor axis j with index g(i, xo) affine in
+    (i, xo); pass 2 resamples along i with index u(yo, xo). Both passes are
+    dense einsums over hat-weight tensors built from iota — MXU work, no
+    gathers. The triangle radius max(1, rho) antialiases downscaling.
     """
+    ymin, xmin, size, diag, angle = geom_i
+    p0 = canvas.shape[0]
+    cyx = (diag - 1.0) / 2.0
+    off = (diag - size) / 2.0
+    rho = p0 / jnp.maximum(size, 1.0)
+    cos_a = jnp.cos(angle)
+    sin_a = jnp.sin(angle)
+
+    # u = A*yo + B*xo + Cu ; v = D*yo + E*xo + Cv
+    a = cos_a * rho
+    b = sin_a * rho
+    d = -sin_a * rho
+    e = cos_a * rho
+    base_y = oy - ymin - cyx
+    base_x = ox - xmin - cyx
+    cu = (cos_a * base_y + sin_a * base_x + cyx - off + 0.5) * rho - 0.5
+    cv = (-sin_a * base_y + cos_a * base_x + cyx - off + 0.5) * rho - 0.5
+
+    # pass-1 index: g(i, xo) = (d/a)*i + (e - d*b/a)*xo + (cv - d*cu/a)
+    # (a = cos(angle)*rho >= cos(20deg)*rho > 0, never degenerate)
+    g_i = d / a
+    g_x = e - d * b / a
+    g_c = cv - d * cu / a
+
+    radius = jnp.maximum(1.0, rho)
+    io = jax.lax.broadcasted_iota(jnp.float32, (p0, 1, 1), 0)
+    xo_ = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
+    jo = jax.lax.broadcasted_iota(jnp.float32, (1, 1, p0), 2)
+    w1 = _hat(g_i * io + g_x * xo_ + g_c - jo, radius)      # [p0, w, p0]
+    w1 = w1 / jnp.maximum(jnp.sum(w1, axis=2, keepdims=True), 1e-8)
+    # hat weights carry ~1% quantization noise in bf16 — below the EOT
+    # sensor-noise floor (noise_mag .01); halves HBM traffic, enables MXU
+    t = jnp.einsum("ijc,ixj->ixc", canvas.astype(jnp.bfloat16),
+                   w1.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)       # [p0, w, 3]
+
+    yo_ = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
+    xo2 = jax.lax.broadcasted_iota(jnp.float32, (w, 1, 1), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.float32, (1, 1, p0), 2)
+    w2 = _hat(a * yo_ + b * xo2 + cu - i2, radius)           # [w(x), w(y), p0]
+    w2 = w2 / jnp.maximum(jnp.sum(w2, axis=2, keepdims=True), 1e-8)
+    sample = jnp.einsum("ixc,xyi->yxc", t.astype(jnp.bfloat16),
+                        w2.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # [w, w, 3]
+    sample = sample.astype(jnp.float32)
+
+    # analytic inside-the-patch mask (replaces the -2 sentinel + fill logic
+    # of attacker.py:431-440)
+    yy = oy + jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)
+    xx = ox + jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    ly = yy - ymin - cyx
+    lx = xx - xmin - cyx
+    sy = cos_a * ly + sin_a * lx + cyx
+    sx = -sin_a * ly + cos_a * lx + cyx
+    py = sy - off
+    px = sx - off
+    inside = ((py > -0.5) & (py < size - 0.5) &
+              (px > -0.5) & (px < size - 0.5))
+    region = ((yy >= ymin) & (yy < ymin + diag) &
+              (xx >= xmin) & (xx < xmin + diag))
+    return sample, inside, region
+
+
+def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
+                      geom: PatchGeometry, key: jax.Array, *,
+                      noise_mag: float, brightness_mag: float,
+                      window: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential windowed composite of K slots into one [H, W, 3] image."""
+    h_img, w_img, _ = image.shape
+    k = geom.ymin.shape[0]
+    wsz = window
+
+    k_noise, k_bright = jax.random.split(key)
+    noise = jax.random.uniform(k_noise, (wsz, wsz, 3), minval=-noise_mag,
+                               maxval=noise_mag)
+    bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
+                                maxval=brightness_mag)
+
+    # remat: the hat-weight tensors are enormous but trivially recomputable
+    # from a few scalars — never save them for backward
+    @functools.partial(jax.checkpoint, static_argnums=())
+    def patched_window(win, canvas_, geom_scalars, oy, ox, bright_i, ok):
+        sample, inside, region = _warp_window_matmul(canvas_, oy, ox,
+                                                     geom_scalars, wsz)
+        val = jnp.clip(sample + noise + bright_i, -1.0, 1.0)
+        use = (inside & ok)[..., None]
+        return jnp.where(use, val, win), region
+
+    def body(i, state):
+        out, region_any = state
+        ymin, xmin = geom.ymin[i], geom.xmin[i]
+        ok = geom.valid[i]
+
+        # static window fully inside the image, containing the region
+        oy = jnp.clip(jnp.floor(ymin), 0.0, float(h_img - wsz))
+        ox = jnp.clip(jnp.floor(xmin), 0.0, float(w_img - wsz))
+        oyi = oy.astype(jnp.int32)
+        oxi = ox.astype(jnp.int32)
+
+        win = jax.lax.dynamic_slice(out, (oyi, oxi, 0), (wsz, wsz, 3))
+        new_win, region = patched_window(
+            win, canvas,
+            (ymin, xmin, geom.size[i], geom.diag[i], geom.angle[i]),
+            oy, ox, bright[i], ok)
+        out = jax.lax.dynamic_update_slice(out, new_win, (oyi, oxi, 0))
+
+        reg_win = jax.lax.dynamic_slice(region_any, (oyi, oxi), (wsz, wsz))
+        region_any = jax.lax.dynamic_update_slice(
+            region_any, reg_win | (region & ok), (oyi, oxi))
+        return out, region_any
+
+    init = (image, jnp.zeros((h_img, w_img), bool))
+    return jax.lax.fori_loop(0, k, body, init)
+
+
+# ---------------------------------------------------------------------------
+# gather backend (reference implementation for tests)
+# ---------------------------------------------------------------------------
+
+def _composite_gather(image: jnp.ndarray, patch_canvas: jnp.ndarray,
+                      geom: PatchGeometry, key: jax.Array, *,
+                      noise_mag: float, brightness_mag: float
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel bilinear-gather composite (straight-line formulation)."""
     h_img, w_img, _ = image.shape
     p = patch_canvas.shape[0]
     k = geom.ymin.shape[0]
 
-    yy = jnp.arange(h_img, dtype=jnp.float32)[:, None]  # [H, 1]
-    xx = jnp.arange(w_img, dtype=jnp.float32)[None, :]  # [1, W]
+    yy = jnp.arange(h_img, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w_img, dtype=jnp.float32)[None, :]
 
     k_noise, k_bright = jax.random.split(key)
-    # one noise field per image, shared across slots (slots rarely overlap)
     noise = jax.random.uniform(k_noise, image.shape, minval=-noise_mag,
                                maxval=noise_mag)
     bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
@@ -141,16 +331,12 @@ def _composite_one_image(image: jnp.ndarray, patch_canvas: jnp.ndarray,
         size, diag, angle = geom.size[i], geom.diag[i], geom.angle[i]
         ok = geom.valid[i]
 
-        # local coords in the diag x diag region, centered
         cyx = (diag - 1.0) / 2.0
-        ly = yy - ymin - cyx  # [H, 1]
-        lx = xx - xmin - cyx  # [1, W]
-        # inverse rotation (content rotated by +angle => sample at R(-angle))
+        ly = yy - ymin - cyx
+        lx = xx - xmin - cyx
         cos_a, sin_a = jnp.cos(angle), jnp.sin(angle)
-        sy = cos_a * ly + sin_a * lx + cyx   # [H, W] source row in region
-        sx = -sin_a * ly + cos_a * lx + cyx  # [H, W] source col in region
-
-        # offset of the s x s patch inside the region (attacker.py:431-434)
+        sy = cos_a * ly + sin_a * lx + cyx
+        sx = -sin_a * ly + cos_a * lx + cyx
         off = (diag - size) / 2.0
         py = sy - off
         px = sx - off
@@ -159,21 +345,19 @@ def _composite_one_image(image: jnp.ndarray, patch_canvas: jnp.ndarray,
         region = ((yy >= ymin) & (yy < ymin + diag) &
                   (xx >= xmin) & (xx < xmin + diag))
 
-        # map to patch-canvas coords (half-pixel-center resize convention)
-        u = jnp.clip((py + 0.5) * (p / jnp.maximum(size, 1.0)) - 0.5, 0.0, p - 1.0)
-        v = jnp.clip((px + 0.5) * (p / jnp.maximum(size, 1.0)) - 0.5, 0.0, p - 1.0)
+        u = jnp.clip((py + 0.5) * (p / jnp.maximum(size, 1.0)) - 0.5, 0.0,
+                     p - 1.0)
+        v = jnp.clip((px + 0.5) * (p / jnp.maximum(size, 1.0)) - 0.5, 0.0,
+                     p - 1.0)
         u0 = jnp.floor(u); v0 = jnp.floor(v)
         fu = (u - u0)[..., None]; fv = (v - v0)[..., None]
         u0i = u0.astype(jnp.int32); v0i = v0.astype(jnp.int32)
         u1i = jnp.minimum(u0i + 1, p - 1); v1i = jnp.minimum(v0i + 1, p - 1)
 
-        def gather(ui, vi):
-            return patch_canvas[ui, vi]  # [H, W, 3] advanced-index gather
-
-        val = ((1 - fu) * (1 - fv) * gather(u0i, v0i)
-               + (1 - fu) * fv * gather(u0i, v1i)
-               + fu * (1 - fv) * gather(u1i, v0i)
-               + fu * fv * gather(u1i, v1i))
+        val = ((1 - fu) * (1 - fv) * patch_canvas[u0i, v0i]
+               + (1 - fu) * fv * patch_canvas[u0i, v1i]
+               + fu * (1 - fv) * patch_canvas[u1i, v0i]
+               + fu * fv * patch_canvas[u1i, v1i])
         val = jnp.clip(val + noise + bright[i], -1.0, 1.0)
 
         use = (inside & ok)[..., None]
@@ -182,21 +366,38 @@ def _composite_one_image(image: jnp.ndarray, patch_canvas: jnp.ndarray,
         return out, region_any
 
     init = (image, jnp.zeros((h_img, w_img), bool))
-    out, region_any = jax.lax.fori_loop(0, k, body, init)
-    return out, region_any
+    return jax.lax.fori_loop(0, k, body, init)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def default_window(img_hw: Tuple[int, int]) -> int:
+    """Static slot-window side. 384 covers diag = sqrt(2)*scale*box up to
+    scale .42 on a full-height 640 box (typical learned scales are .3-.4);
+    larger patches are clamped to the window (the reference itself clamps
+    to image width, attacker.py:472). Pass `window=` explicitly for very
+    large patch scales."""
+    return min(img_hw[0], img_hw[1], 384)
 
 
 @functools.partial(jax.jit, static_argnames=("tolerance", "min_patch_area",
                                              "noise_mag", "brightness_mag",
                                              "random_scale_range",
-                                             "use_histogram_match"))
+                                             "use_histogram_match",
+                                             "backend", "window",
+                                             "canvas_res"))
 def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                   boxes_valid: jnp.ndarray, patch: jnp.ndarray, scale, *,
                   tolerance: float = 0.2, min_patch_area: float = 4.0,
                   noise_mag: float = 0.01, brightness_mag: float = 0.3,
                   random_scale_range: Tuple[float, float] | None = None,
                   per_image_patches: jnp.ndarray | None = None,
-                  use_histogram_match: bool = False
+                  use_histogram_match: bool = False,
+                  backend: str = "matmul",
+                  window: Optional[int] = None,
+                  canvas_res: int = 96
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply the adversarial patch to every valid person box in a batch.
 
@@ -214,13 +415,22 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
       scale: scalar patch scale in [0, 1].
       per_image_patches: optional [B, P', P', 3] per-image patch sources
         (Masker training mode, attack_detection.py:487-492).
+      backend: 'matmul' (two-pass MXU warp) or 'gather'.
+      window: static window side for the matmul backend
+        (default min(image, 512)).
+      canvas_res: pre-downsampled patch-canvas resolution for the matmul
+        backend.
 
     Returns:
       (patched images [B, H, W, 3], region masks [B, H, W] bool).
     """
     b = images.shape[0]
     img_hw = (images.shape[1], images.shape[2])
+    if window is None:
+        window = default_window(img_hw)
+    window = min(window, img_hw[0], img_hw[1])
     keys = jax.random.split(key, b)
+    max_region = float(window) if backend == "matmul" else None
 
     def per_image(img, bxs, bval, k, own_patch):
         k_print, k_geom, k_comp = jax.random.split(k, 3)
@@ -233,10 +443,16 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         geom = make_patch_geometry(
             k_geom, bxs, bval, scale, img_hw, tolerance=tolerance,
             min_patch_area=min_patch_area,
-            random_scale_range=random_scale_range)
-        return _composite_one_image(img, canvas, geom, k_comp,
-                                    noise_mag=noise_mag,
-                                    brightness_mag=brightness_mag)
+            random_scale_range=random_scale_range, max_region=max_region)
+        if backend == "matmul":
+            small = downsample_canvas(canvas, min(canvas_res, canvas.shape[0]))
+            return _composite_matmul(img, small, geom, k_comp,
+                                     noise_mag=noise_mag,
+                                     brightness_mag=brightness_mag,
+                                     window=window)
+        return _composite_gather(img, canvas, geom, k_comp,
+                                 noise_mag=noise_mag,
+                                 brightness_mag=brightness_mag)
 
     if per_image_patches is not None:
         return jax.vmap(per_image)(images, boxes, boxes_valid, keys,

@@ -1,0 +1,91 @@
+"""Detection losses: focal classification + huber box regression.
+
+Behavioral parity with reference tf2/train_lib.py:357-464 (`FocalLoss`
+alpha/gamma with label smoothing, `BoxLoss` huber delta .1 scaled x4,
+`BoxIouLoss`) normalized by the positive-anchor count.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import labeler as labeler_lib
+from ..ops import iou_loss as iou_lib
+
+
+def focal_loss(logits: jnp.ndarray, targets_one_hot: jnp.ndarray,
+               alpha: float, gamma: float, normalizer,
+               label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Per-element focal loss / normalizer (train_lib.py:357-406)."""
+    y = targets_one_hot
+    if label_smoothing:
+        y = y * (1 - label_smoothing) + 0.5 * label_smoothing
+    pred_prob = jax.nn.sigmoid(logits)
+    p_t = y * pred_prob + (1 - y) * (1 - pred_prob)
+    alpha_factor = y * alpha + (1 - y) * (1 - alpha)
+    modulating = (1.0 - p_t) ** gamma
+    ce = (jnp.maximum(logits, 0) - logits * y
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return alpha_factor * modulating * ce / normalizer
+
+
+def huber_loss(pred: jnp.ndarray, target: jnp.ndarray,
+               delta: float) -> jnp.ndarray:
+    err = target - pred
+    abs_err = jnp.abs(err)
+    quad = jnp.minimum(abs_err, delta)
+    return 0.5 * quad ** 2 + delta * (abs_err - quad)
+
+
+def detection_loss(cls_outputs: Sequence[jnp.ndarray],
+                   box_outputs: Sequence[jnp.ndarray],
+                   labels: labeler_lib.AnchorLabels,
+                   *, num_classes: int, num_anchors: int,
+                   alpha: float = 0.25, gamma: float = 1.5,
+                   delta: float = 0.1, box_loss_weight: float = 50.0,
+                   label_smoothing: float = 0.0
+                   ) -> Tuple[jnp.ndarray, dict]:
+    """Total per-batch detection loss (EfficientDetNetTrain semantics,
+    train_lib.py:530-729).
+
+    cls_outputs/box_outputs: per-level [B, H, W, A*C] / [B, H, W, A*4];
+    labels: batched AnchorLabels ([B, A] / [B, A, 4] / [B]).
+    """
+    b = cls_outputs[0].shape[0]
+    cls_flat = jnp.concatenate(
+        [c.reshape(b, -1, num_classes) for c in cls_outputs], axis=1)
+    box_flat = jnp.concatenate(
+        [x.reshape(b, -1, 4) for x in box_outputs], axis=1)
+
+    cls_t = labels.cls_targets                     # [B, A]
+    positives = cls_t >= 0
+    ignored = cls_t == -2
+    one_hot = jax.nn.one_hot(jnp.maximum(cls_t, 0), num_classes)
+    one_hot = one_hot * positives[..., None]
+
+    normalizer = jnp.sum(labels.num_positives) + 1.0
+    cls_l = focal_loss(cls_flat, one_hot, alpha, gamma, normalizer,
+                       label_smoothing)
+    cls_l = jnp.where(ignored[..., None], 0.0, cls_l)
+    cls_loss = jnp.sum(cls_l)
+
+    box_l = huber_loss(box_flat, labels.box_targets, delta)
+    box_l = box_l * positives[..., None]
+    # automl scales huber by 4 "to match the tf1 version" and normalizes
+    box_loss = 4.0 * jnp.sum(box_l) / normalizer / 4.0  # net: sum/normalizer
+
+    total = cls_loss + box_loss_weight * box_loss
+    return total, {"cls_loss": cls_loss, "box_loss": box_loss}
+
+
+def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
+    """Weight decay over conv/dense kernels only (train_lib.py:617-623
+    filters BN/bias by name)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("kernel",):
+            total = total + jnp.sum(leaf.astype(jnp.float32) ** 2)
+    return weight_decay * total
