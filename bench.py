@@ -61,19 +61,26 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     jax.block_until_ready(state.patch)
     log("state ready; compiling train_step")
 
+    # NOTE: timings are fenced with explicit host reads — on this platform
+    # block_until_ready can return before device execution completes, but
+    # the steps form a dependency chain through the donated state, so a
+    # final host read bounds the true wall time.
+    def fence(s):
+        return float(jnp.sum(s.scale))
+
     train_step = jax.jit(attacker.train_step, donate_argnums=0)
     state, metrics = train_step(state, images)
-    jax.block_until_ready(state.patch)
+    fence(state)
     log("train_step compiled")
     for _ in range(warmup - 1):
         state, metrics = train_step(state, images)
-    jax.block_until_ready(state.patch)
+    fence(state)
     log("warmup done")
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, images)
-    jax.block_until_ready(state.patch)
+    fence(state)
     dt = time.perf_counter() - t0
     n_chips = max(1, jax.local_device_count())
     return batch_size * iters / dt / n_chips

@@ -1,0 +1,87 @@
+"""Model export: serialized AOT artifacts + optional TF/TFLite paths.
+
+The TPU-native counterpart of the reference serving/export stack
+(tf2/infer_lib.py:455-564: SavedModel, frozen graph, TFLite FP32/FP16/INT8,
+TensorRT):
+
+  - `export_stablehlo`: jax.export serialization of the jitted
+    forward+postprocess — the portable AOT artifact (StableHLO), the
+    native-deployment equivalent of a frozen graph.
+  - `export_saved_model`: jax2tf -> tf.saved_model (gated on TF + jax2tf
+    availability).
+  - `export_tflite`: SavedModel -> TFLite converter, FP32/FP16 and INT8
+    with a representative dataset (infer_lib.py:497-540 parity).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from ..utils.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def export_stablehlo(fn: Callable, example_args, out_path: str) -> None:
+    """Serialize a jittable fn to a portable StableHLO artifact."""
+    import jax
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(fn))(*example_args)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    logger.info(f"wrote StableHLO artifact ({len(blob)} bytes) to {out_path}")
+
+
+def load_stablehlo(path: str):
+    """Deserialize an exported artifact; returns a callable."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
+
+
+def export_saved_model(fn: Callable, example_args, out_dir: str) -> None:
+    """jax2tf conversion to a TF SavedModel (KerasDriver.export parity)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        autograph=False,
+        input_signature=[
+            tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype))
+            for a in example_args
+        ])
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(module, out_dir,
+                        signatures={"serving_default": tf_fn})
+    logger.info(f"wrote SavedModel to {out_dir}")
+
+
+def export_tflite(saved_model_dir: str, out_path: str, *,
+                  quantize: Optional[str] = None,
+                  representative_dataset: Optional[Iterable] = None) -> None:
+    """SavedModel -> TFLite; quantize in {None, 'fp16', 'int8'}
+    (infer_lib.py:497-540 parity)."""
+    import tensorflow as tf
+
+    converter = tf.lite.TFLiteConverter.from_saved_model(saved_model_dir)
+    if quantize == "fp16":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    elif quantize == "int8":
+        if representative_dataset is None:
+            raise ValueError("int8 quantization needs a representative dataset")
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = representative_dataset
+    blob = converter.convert()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    logger.info(f"wrote TFLite model ({len(blob)} bytes) to {out_path}")

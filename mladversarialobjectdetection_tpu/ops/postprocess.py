@@ -120,3 +120,53 @@ def postprocess_global(params, cls_outputs, box_outputs,
         out_boxes = out_boxes * scales.astype(out_boxes.dtype)
     return Detections(out_boxes, res.scores, out_classes.astype(jnp.float32),
                       res.valid, res.valid_len)
+
+
+def postprocess_per_class(params, cls_outputs, box_outputs,
+                          image_scales=None) -> Detections:
+    """Per-class NMS postprocessing, fixed shapes.
+
+    Parity with reference postprocess.py:333-372 / nms_np per-class
+    semantics: suppression only happens between boxes of the SAME class.
+    TPU-native formulation: instead of a dynamic per-class loop, boxes are
+    shifted by class_id * image_diagonal before one global NMS pass
+    (cross-class IoU becomes 0), then shifted back — a single fixed-shape
+    suppression loop regardless of how many classes are present.
+    """
+    boxes, scores, classes = pre_nms(params, list(cls_outputs), list(box_outputs))
+    nms_cfg = params["nms_configs"]
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    topk = min(int(get("pre_nms_topk") or 1024), scores.shape[1])
+
+    top_scores, top_idx = jax.lax.top_k(scores, topk)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+
+    h, w = parse_image_size(params["image_size"])
+    offset = float(2 * max(h, w))
+    shifted = top_boxes + (top_classes[..., None].astype(top_boxes.dtype)
+                           * offset)
+    kw = nms_kwargs_from_config(nms_cfg)
+    res = nms_ops.batched_nms(shifted, top_scores, **kw)
+    sel_classes = jnp.take_along_axis(top_classes, res.indices, axis=1)
+    out_boxes = res.boxes - (sel_classes[..., None].astype(res.boxes.dtype)
+                             * offset) * res.valid[..., None]
+    out_boxes = clip_boxes(out_boxes * res.valid[..., None],
+                           params["image_size"])
+    out_classes = (sel_classes + CLASS_OFFSET) * res.valid
+    if image_scales is not None:
+        scales = jnp.asarray(image_scales).reshape(-1, 1, 1)
+        out_boxes = out_boxes * scales.astype(out_boxes.dtype)
+    return Detections(out_boxes, res.scores, out_classes.astype(jnp.float32),
+                      res.valid, res.valid_len)
+
+
+def postprocess_combined(params, cls_outputs, box_outputs,
+                         image_scales=None) -> Detections:
+    """Combined-NMS-style postprocessing (reference postprocess.py:208-245).
+
+    The reference's tf.image.combined_non_max_suppression is per-class NMS
+    with shared boxes across classes; with the max_reduce candidate
+    selection the per-class path above is the fixed-shape equivalent."""
+    return postprocess_per_class(params, cls_outputs, box_outputs,
+                                 image_scales)
