@@ -1,0 +1,153 @@
+"""Supervised EfficientDet training CLI.
+
+Behavioral parity with reference tf2/train.py:151-307: TFRecord input,
+strategy selection (here: the data-parallel mesh over all chips), cosine/
+stepwise/polynomial LR, EMA, periodic COCO mAP evaluation (the COCOCallback
+of train_lib.py:202-248) and checkpointing.
+
+Usage:
+    python -m mladversarialobjectdetection_tpu.train.train \
+        --train-pattern 'data/train-*.tfrecord' --model efficientdet-d0
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from .. import config as config_lib
+from ..ckpt import io as ckpt_io
+from ..data import pipeline
+from ..data.tfrecord import DetectionTFRecordReader
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.coco_metric import COCOEvaluator
+from ..utils.log import get_logger
+from ..utils.train_loop import MetricLogger, Throughput
+from ..ops import postprocess
+from .trainer import DetectorTrainer
+
+logger = get_logger(__name__)
+
+
+def evaluate_map(trainer: DetectorTrainer, state, batches, n_batches: int,
+                 score_thresh: float = 0.05) -> dict:
+    """COCO mAP over n_batches (COCOCallback parity)."""
+    evaluator = COCOEvaluator()
+    variables = trainer.eval_variables(state)
+    params = trainer.config.as_dict()
+
+    @jax.jit
+    def infer(images):
+        cls_out, box_out = trainer.net.apply(variables, images, False)
+        return postprocess.postprocess_per_class(params, cls_out, box_out)
+
+    for _ in range(n_batches):
+        batch = next(batches)
+        det = jax.tree.map(np.asarray, infer(batch["images"]))
+        for i in range(det.boxes.shape[0]):
+            keep = det.valid[i] & (det.scores[i] >= score_thresh)
+            gt_keep = batch["valid"][i]
+            evaluator.add_image(
+                det.boxes[i][keep], det.scores[i][keep],
+                det.classes[i][keep].astype(int),
+                batch["boxes"][i][gt_keep],
+                batch["classes"][i][gt_keep] + postprocess.CLASS_OFFSET)
+    return evaluator.result()
+
+
+def train(model_name: str = "efficientdet-d0", *,
+          train_pattern: str | None = None, val_pattern: str | None = None,
+          model_dir: str = "detector_out", batch_size: int = 8,
+          num_epochs: int | None = None, steps_per_epoch: int = 1000,
+          eval_batches: int = 50, map_freq: int = 5, image_size=None,
+          seed: int = 0):
+    config = config_lib.get_efficientdet_config(model_name)
+    if image_size is not None:
+        config.image_size = image_size
+    if num_epochs is not None:
+        config.num_epochs = num_epochs
+
+    mesh = make_mesh()
+    trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
+                              bn_axis_name=None)
+    state = replicate(mesh, trainer.init_state(jax.random.PRNGKey(seed)))
+    train_step = jax.jit(trainer.train_step, donate_argnums=0)
+
+    if train_pattern:
+        reader = DetectionTFRecordReader(
+            train_pattern, image_size=config.image_size,
+            mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
+            max_instances=config.max_instances_per_image, seed=seed)
+        batches = reader.batches(batch_size)
+    else:
+        logger.warning("no --train-pattern: using synthetic batches")
+        def synth():
+            import itertools
+            for img in pipeline.synthetic_batches(batch_size,
+                                                  config.image_size,
+                                                  seed=seed):
+                g = config.max_instances_per_image
+                yield {"images": img,
+                       "boxes": np.tile(np.array([[10, 10, 50, 50]],
+                                                 np.float32),
+                                        (batch_size, g, 1)),
+                       "classes": np.zeros((batch_size, g), np.int32),
+                       "valid": np.pad(np.ones((batch_size, 1), bool),
+                                       ((0, 0), (0, g - 1)))}
+        batches = synth()
+    batches = pipeline.prefetch(
+        batches, device_put_fn=lambda b: shard_batch(mesh, b))
+
+    os.makedirs(model_dir, exist_ok=True)
+    mlog = MetricLogger(os.path.join(model_dir, "logs"))
+    thr = Throughput()
+
+    for epoch in range(config.num_epochs):
+        thr.start()
+        metrics = None
+        for _ in range(steps_per_epoch):
+            batch = next(batches)
+            state, metrics = train_step(state, batch["images"],
+                                        batch["boxes"], batch["classes"],
+                                        batch["valid"])
+            thr.count(batch_size)
+        mlog.log(int(state.step),
+                 {k: float(v) for k, v in metrics.items()}, prefix="train/")
+        logger.info(f"epoch {epoch}: loss={float(metrics['loss']):.4f} "
+                    f"{thr.rate():.1f} img/s")
+        ckpt_io.save_pytree(os.path.join(model_dir, f"ckpt-{epoch}"),
+                            trainer.eval_variables(state))
+        if val_pattern and (epoch + 1) % map_freq == 0:
+            val_reader = DetectionTFRecordReader(
+                val_pattern, image_size=config.image_size,
+                mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
+                max_instances=config.max_instances_per_image, shuffle=False)
+            res = evaluate_map(trainer, state,
+                               val_reader.batches(batch_size), eval_batches)
+            mlog.log(int(state.step), res, prefix="eval/")
+            logger.info(f"epoch {epoch}: {res}")
+    mlog.close()
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser(description="supervised detector training")
+    p.add_argument("--model", default="efficientdet-d0")
+    p.add_argument("--train-pattern", default=None)
+    p.add_argument("--val-pattern", default=None)
+    p.add_argument("--model-dir", default="detector_out")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=1000)
+    p.add_argument("--image-size", type=int, default=None)
+    a = p.parse_args()
+    train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
+          model_dir=a.model_dir, batch_size=a.batch_size,
+          num_epochs=a.num_epochs, steps_per_epoch=a.steps_per_epoch,
+          image_size=a.image_size)
+
+
+if __name__ == "__main__":
+    main()
