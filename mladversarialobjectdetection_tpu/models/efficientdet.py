@@ -44,6 +44,8 @@ class DetSpec(NamedTuple):
     survival_prob: Optional[float]
     grad_checkpoint: bool
     mixed_precision: bool
+    heads: Tuple[str, ...] = ("object_detection",)
+    seg_num_classes: int = 3
 
 
 def spec_from_config(config) -> DetSpec:
@@ -80,6 +82,8 @@ def spec_from_config(config) -> DetSpec:
         survival_prob=config.survival_prob,
         grad_checkpoint=bool(config.grad_checkpoint),
         mixed_precision=bool(config.mixed_precision),
+        heads=tuple(config.get("heads", ["object_detection"])),
+        seg_num_classes=int(config.get("seg_num_classes", 3) or 3),
     )
 
 
@@ -118,18 +122,24 @@ class EfficientDetNet(nn.Module):
             spec.grad_checkpoint, name="fpn_cells")(feats, training)
 
         num_levels = spec.max_level - spec.min_level + 1
-        cls_out = heads.class_net(
-            spec.num_classes, spec.num_anchors, spec.fpn_num_filters,
-            num_levels, spec.box_class_repeats, spec.act_type,
-            spec.separable_conv, spec.survival_prob, self.bn_axis_name,
-            spec.grad_checkpoint)(fpn_feats, training)
-        box_out = heads.box_net(
-            spec.num_anchors, spec.fpn_num_filters, num_levels,
-            spec.box_class_repeats, spec.act_type, spec.separable_conv,
-            spec.survival_prob, self.bn_axis_name,
-            spec.grad_checkpoint)(fpn_feats, training)
-
-        # predictions always fp32 for stable postprocessing/losses
-        cls_out = [c.astype(jnp.float32) for c in cls_out]
-        box_out = [b.astype(jnp.float32) for b in box_out]
-        return cls_out, box_out
+        outputs = []
+        if "object_detection" in spec.heads:
+            cls_out = heads.class_net(
+                spec.num_classes, spec.num_anchors, spec.fpn_num_filters,
+                num_levels, spec.box_class_repeats, spec.act_type,
+                spec.separable_conv, spec.survival_prob, self.bn_axis_name,
+                spec.grad_checkpoint)(fpn_feats, training)
+            box_out = heads.box_net(
+                spec.num_anchors, spec.fpn_num_filters, num_levels,
+                spec.box_class_repeats, spec.act_type, spec.separable_conv,
+                spec.survival_prob, self.bn_axis_name,
+                spec.grad_checkpoint)(fpn_feats, training)
+            # predictions always fp32 for stable postprocessing/losses
+            outputs.append([c.astype(jnp.float32) for c in cls_out])
+            outputs.append([b.astype(jnp.float32) for b in box_out])
+        if "segmentation" in spec.heads:
+            seg = heads.SegmentationHead(
+                spec.seg_num_classes, spec.fpn_num_filters, spec.act_type,
+                self.bn_axis_name, name="seg_head")(fpn_feats, training)
+            outputs.append(seg.astype(jnp.float32))
+        return tuple(outputs)

@@ -98,6 +98,36 @@ def class_net(num_classes: int, num_anchors: int, num_filters: int,
         grad_checkpoint=grad_checkpoint, name="class_net")
 
 
+class SegmentationHead(nn.Module):
+    """Semantic-segmentation head over the FPN pyramid.
+
+    Parity with reference tf2/efficientdet_keras.py:635-697
+    (`SegmentationHead`): start from the coarsest pyramid level, repeatedly
+    transpose-conv upsample and add the next finer level, then predict
+    per-pixel classes at the min_level resolution.
+    """
+    num_classes: int
+    num_filters: int
+    act_type: str = "swish"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, training: bool):
+        x = feats[-1]
+        skips = list(reversed(feats[:-1]))
+        for i, skip in enumerate(skips):
+            x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
+                                 name=f"up_{i}")(x)
+            # the (s-1)//2+1 pyramid is not an exact power-of-two chain at
+            # small sizes; crop the upsample to the skip's static shape
+            x = x[:, :skip.shape[1], :skip.shape[2], :]
+            x = BatchNorm(axis_name=self.bn_axis_name,
+                          name=f"bn_{i}")(x, training)
+            x = activation(x, self.act_type)
+            x = jnp.concatenate([x, skip], axis=-1)
+        return nn.Conv(self.num_classes, (3, 3), name="predict")(x)
+
+
 def box_net(num_anchors: int, num_filters: int, num_levels: int,
             repeats: int, act_type: str, separable_conv: bool,
             survival_prob=None, bn_axis_name=None,
