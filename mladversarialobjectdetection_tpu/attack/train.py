@@ -26,7 +26,7 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..models.efficientdet import EfficientDetNet, spec_from_config
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from . import artifacts
@@ -57,19 +57,23 @@ def train(model_name: str = "efficientdet-lite4", *,
           batch_size: int = 12, epochs: int = 500, lr: float = 1e-2,
           steps_per_epoch: int | None = None, initial_patch: str | None = None,
           synthetic: bool = False, image_size=None, seed: int = 42,
-          visualize_freq: int = 200):
+          visualize_freq: int = 200, config_override=None,
+          patch_size: int = 640):
     config = config_lib.get_efficientdet_config(model_name)
     # attack-time NMS override (attacker_train.py:31)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
         config.image_size = image_size
+    if config_override:
+        config.update(config_override)
 
     det_vars = get_victim_variables(config, victim_ckpt)
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(batch_size)
     n_dev = mesh.devices.size
     logger.info(f"mesh over {n_dev} device(s); global batch {batch_size}")
 
-    attacker = PatchAttacker(config, det_vars, learning_rate=lr)
+    attacker = PatchAttacker(config, det_vars, learning_rate=lr,
+                             patch_size=patch_size)
     key = jax.random.PRNGKey(seed)
     if initial_patch:
         patch_np, scale0 = artifacts.load_patch_dir(initial_patch)
@@ -139,6 +143,24 @@ def train(model_name: str = "efficientdet-lite4", *,
             f"epoch {epoch}: val_loss={val['loss']:.4f} "
             f"asr={val['asr']:.3f} scale={val['scale']:.3f} "
             f"asr_to_scale={val['asr_to_scale']:.4f} {ips:.1f} img/s")
+
+        # ASR-vs-threshold curve every visualize_freq steps
+        # (host-side replacement for the in-graph tfplot rendering,
+        # attacker.py:221-236,277-283)
+        if visualize_freq and epoch % max(1, visualize_freq // spe) == 0:
+            try:
+                from ..utils import visualize
+                thresholds = np.arange(
+                    float(config.nms_configs.score_thresh or 0.5), 0.805,
+                    0.01, dtype=np.float32)
+                curve = jax.jit(attacker.asr_curve)(
+                    state, next(val_iter), thresholds)
+                img = visualize.plot_asr_curve(thresholds, np.asarray(curve))
+                from PIL import Image
+                Image.fromarray(img).save(
+                    os.path.join(save_dir, "logs", f"asr_{epoch:03d}.png"))
+            except Exception as e:  # visualization must never kill training
+                logger.warning(f"asr-curve viz failed: {e}")
 
         # artifacts: dir per epoch (attacker_train.py:49-56 format)
         dirname = os.path.join(save_dir,

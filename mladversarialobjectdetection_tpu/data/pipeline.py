@@ -170,8 +170,9 @@ def prefetch(iterator: Iterator[np.ndarray], *, size: int = 2,
                 if device_put_fn is not None:
                     item = device_put_fn(item)
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -179,6 +180,8 @@ def prefetch(iterator: Iterator[np.ndarray], *, size: int = 2,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -18,7 +18,7 @@ from ..attack import artifacts
 from ..attack.train import get_victim_variables
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from .defender import PatchAttackDefender
@@ -33,14 +33,16 @@ def train(model_name: str = "efficientdet-lite4", *,
           epochs: int = 200, lr: float = 1e-2,
           steps_per_epoch: int | None = None,
           initial_weights: str | None = None, synthetic: bool = False,
-          image_size=None, seed: int = 43):
+          image_size=None, seed: int = 43, config_override=None):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
         config.image_size = image_size
+    if config_override:
+        config.update(config_override)
 
     det_vars = get_victim_variables(config, victim_ckpt)
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(batch_size)
 
     if eval_patch:
         patch_np, scale = artifacts.load_patch_dir(eval_patch)

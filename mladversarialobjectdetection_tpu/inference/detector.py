@@ -31,7 +31,8 @@ class Detector:
     """Inference with the EfficientDet person detector."""
 
     def __init__(self, *, model_name: str = "efficientdet-lite4",
-                 params=None, ckpt_path: str | None = None, seed: int = 0):
+                 params=None, ckpt_path: str | None = None, seed: int = 0,
+                 post_mode: str = "global"):
         """
         Args:
           model_name: efficientdet variant.
@@ -39,7 +40,10 @@ class Detector:
             detector.py:90-92 usage).
           ckpt_path: native checkpoint (ckpt/io.py) for the detector
             variables; random init if None.
+          post_mode: 'global' | 'per_class' | 'combined'
+            (EfficientDetModel post_mode parity, efficientdet_keras.py:944-963).
         """
+        self.post_mode = post_mode
         self.config = config_lib.get_efficientdet_config(model_name)
         if params:
             self.config.override(params, allow_new_keys=False)
@@ -58,8 +62,10 @@ class Detector:
     def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
                     ) -> postprocess.Detections:
         cls_out, box_out = self.net.apply(self.variables, images, False)
-        return postprocess.postprocess_global(self._params_dict, cls_out,
-                                              box_out, image_scales=scales)
+        post = {"global": postprocess.postprocess_global,
+                "per_class": postprocess.postprocess_per_class,
+                "combined": postprocess.postprocess_combined}[self.post_mode]
+        return post(self._params_dict, cls_out, box_out, image_scales=scales)
 
     def serve(self, raw_frames: np.ndarray) -> postprocess.Detections:
         """Batch of raw RGB frames -> padded Detections in original coords."""

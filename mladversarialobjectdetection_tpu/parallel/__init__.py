@@ -1,2 +1,2 @@
-from .mesh import (make_mesh, batch_sharding, replicated_sharding,  # noqa: F401
-                   shard_batch, replicate)
+from .mesh import (make_mesh, make_mesh_for_batch, batch_sharding,  # noqa: F401
+                   replicated_sharding, shard_batch, replicate)

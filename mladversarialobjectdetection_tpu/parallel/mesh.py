@@ -32,6 +32,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
+    """Largest data-parallel mesh whose size divides the global batch."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard dim 0 (batch) over the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -21,7 +21,7 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..data.tfrecord import DetectionTFRecordReader
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from ..utils.coco_metric import COCOEvaluator
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, Throughput
@@ -69,7 +69,7 @@ def train(model_name: str = "efficientdet-d0", *,
     if num_epochs is not None:
         config.num_epochs = num_epochs
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(batch_size)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
                               bn_axis_name=None)
     state = replicate(mesh, trainer.init_state(jax.random.PRNGKey(seed)))
