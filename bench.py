@@ -43,14 +43,19 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
                   file=sys.stderr, flush=True)
 
     t_start = time.perf_counter()
+    log("start")
     config = mad.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    # bf16 activations / fp32 params+predictions: the TPU-native precision
+    # policy for the attack (automl utils.py:552-642 equivalent)
+    config.mixed_precision = True
     spec = spec_from_config(config)
     net = EfficientDetNet(spec)
     x = jnp.zeros((1, *spec.image_size, 3))
+    log("compiling init")
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(0)}, x, training=False)
-    jax.block_until_ready(variables)
+    float(jax.tree.leaves(variables["params"])[0].sum())  # host fence
     log("init done")
 
     attacker = PatchAttacker(config, variables)

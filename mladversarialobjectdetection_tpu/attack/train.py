@@ -58,10 +58,12 @@ def train(model_name: str = "efficientdet-lite4", *,
           steps_per_epoch: int | None = None, initial_patch: str | None = None,
           synthetic: bool = False, image_size=None, seed: int = 42,
           visualize_freq: int = 200, config_override=None,
-          patch_size: int = 640):
+          patch_size: int = 640, mixed_precision: bool = True):
     config = config_lib.get_efficientdet_config(model_name)
     # attack-time NMS override (attacker_train.py:31)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    # bf16 activations by default on TPU (patch + predictions stay fp32)
+    config.mixed_precision = mixed_precision
     if image_size is not None:
         config.image_size = image_size
     if config_override:
@@ -190,13 +192,15 @@ def main():
     p.add_argument("--initial-patch", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--fp32", action="store_true",
+                   help="disable bf16 mixed precision")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, save_dir=args.save_dir,
           batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
           steps_per_epoch=args.steps_per_epoch,
           initial_patch=args.initial_patch, synthetic=args.synthetic,
-          image_size=args.image_size)
+          image_size=args.image_size, mixed_precision=not args.fp32)
 
 
 if __name__ == "__main__":
