@@ -173,6 +173,64 @@ def _hat(dist: jnp.ndarray, radius) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(dist) / radius)
 
 
+def _warp_scalars(canvas_p0: int, oy, ox, geom_i):
+    """Shared affine/scalar math of the two-pass warp.
+
+    Returns (p1_scalars (g_i, g_x, g_c), p2_scalars (a, b, cu), radius)."""
+    ymin, xmin, size, diag, angle = geom_i
+    cyx = (diag - 1.0) / 2.0
+    off = (diag - size) / 2.0
+    rho = canvas_p0 / jnp.maximum(size, 1.0)
+    cos_a = jnp.cos(angle)
+    sin_a = jnp.sin(angle)
+    a = cos_a * rho
+    b = sin_a * rho
+    d = -sin_a * rho
+    e = cos_a * rho
+    base_y = oy - ymin - cyx
+    base_x = ox - xmin - cyx
+    cu = (cos_a * base_y + sin_a * base_x + cyx - off + 0.5) * rho - 0.5
+    cv = (-sin_a * base_y + cos_a * base_x + cyx - off + 0.5) * rho - 0.5
+    g_i = d / a
+    g_x = e - d * b / a
+    g_c = cv - d * cu / a
+    radius = jnp.maximum(1.0, rho)
+    return (g_i, g_x, g_c), (a, b, cu), radius
+
+
+def _inside_region_masks(oy, ox, geom_i, w: int):
+    """Analytic inside-the-patch + region masks (replaces the -2 sentinel
+    logic of attacker.py:431-440)."""
+    ymin, xmin, size, diag, angle = geom_i
+    cyx = (diag - 1.0) / 2.0
+    off = (diag - size) / 2.0
+    cos_a = jnp.cos(angle)
+    sin_a = jnp.sin(angle)
+    yy = oy + jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)
+    xx = ox + jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    ly = yy - ymin - cyx
+    lx = xx - xmin - cyx
+    sy = cos_a * ly + sin_a * lx + cyx
+    sx = -sin_a * ly + cos_a * lx + cyx
+    py = sy - off
+    px = sx - off
+    inside = ((py > -0.5) & (py < size - 0.5) &
+              (px > -0.5) & (px < size - 0.5))
+    region = ((yy >= ymin) & (yy < ymin + diag) &
+              (xx >= xmin) & (xx < xmin + diag))
+    return inside, region
+
+
+def _warp_window_pallas(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
+    """Pallas fused-warp variant: hat weights never touch HBM."""
+    from . import pallas_warp
+    p1s, p2s, radius = _warp_scalars(canvas.shape[0], oy, ox, geom_i)
+    sample = pallas_warp.warp_window(canvas, p1s, p2s, radius,
+                                     oy, ox, w)
+    inside, region = _inside_region_masks(oy, ox, geom_i, w)
+    return sample, inside, region
+
+
 def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
     """Sample the rotated+scaled canvas over a [w, w] window.
 
@@ -254,7 +312,8 @@ def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
 def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
                       geom: PatchGeometry, key: jax.Array, *,
                       noise_mag: float, brightness_mag: float,
-                      window: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      window: int, use_pallas: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequential windowed composite of K slots into one [H, W, 3] image."""
     h_img, w_img, _ = image.shape
     k = geom.ymin.shape[0]
@@ -268,10 +327,11 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
 
     # remat: the hat-weight tensors are enormous but trivially recomputable
     # from a few scalars — never save them for backward
+    warp = _warp_window_pallas if use_pallas else _warp_window_matmul
+
     @functools.partial(jax.checkpoint, static_argnums=())
     def patched_window(win, canvas_, geom_scalars, oy, ox, bright_i, ok):
-        sample, inside, region = _warp_window_matmul(canvas_, oy, ox,
-                                                     geom_scalars, wsz)
+        sample, inside, region = warp(canvas_, oy, ox, geom_scalars, wsz)
         val = jnp.clip(sample + noise + bright_i, -1.0, 1.0)
         use = (inside & ok)[..., None]
         return jnp.where(use, val, win), region
@@ -444,12 +504,13 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
             k_geom, bxs, bval, scale, img_hw, tolerance=tolerance,
             min_patch_area=min_patch_area,
             random_scale_range=random_scale_range, max_region=max_region)
-        if backend == "matmul":
+        if backend in ("matmul", "pallas"):
             small = downsample_canvas(canvas, min(canvas_res, canvas.shape[0]))
             return _composite_matmul(img, small, geom, k_comp,
                                      noise_mag=noise_mag,
                                      brightness_mag=brightness_mag,
-                                     window=window)
+                                     window=window,
+                                     use_pallas=(backend == "pallas"))
         return _composite_gather(img, canvas, geom, k_comp,
                                  noise_mag=noise_mag,
                                  brightness_mag=brightness_mag)
