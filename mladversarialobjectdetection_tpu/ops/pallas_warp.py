@@ -17,7 +17,17 @@ scalar prefetch. Geometry is stop-gradient in the attack (ops/eot.py), so
 no scalar cotangents are needed.
 
 Wired into ops/eot.apply_patches as `backend='pallas'`; numerically
-verified against the matmul backend in tests (interpret mode on CPU).
+verified against the matmul backend in tests (interpret mode on CPU;
+losses match the matmul backend exactly on TPU).
+
+STATUS: experimental — correct but currently ~8x slower than the XLA
+matmul backend on v5e. The warp tensors carry channels=3 in the minor
+dimension, which pads to 128 lanes inside kernel blocks (42x wasted VMEM
+bandwidth) and leaves the per-tile [y_tile, p0] @ [p0, 3] matmuls at ~2%
+MXU utilization; XLA's fused einsum pipelines the same math better. A
+faster formulation needs channel-major blocking with a wide lane dim
+(e.g. fusing slots/batch into lanes) — tracked for a later round. The
+matmul backend stays the production default.
 """
 from __future__ import annotations
 
@@ -52,7 +62,8 @@ def _hat_weights(idx_m, idx_n, idx_k, scalars_ref):
 
 
 def _iota3(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.float32, shape, dim)
+    # mosaic requires integer iota; convert to f32 after
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -76,19 +87,30 @@ def _pass1_fwd_kernel(scalars, canvas_ref, out_ref):
 
 
 def _pass1_bwd_kernel(scalars, g_ref, out_ref):
-    """dcanvas[i, j, c] = sum_x w(i, x, j) * g[i, x, c]."""
+    """dcanvas[i, j, c] = sum_x w(i, x, j) * g[i, x, c].
+
+    Grid dim 0 tiles x (sequential); the output block is revisited and
+    accumulated across x-tiles to bound VMEM."""
     i_tile = out_ref.shape[0]
     p0 = out_ref.shape[1]
-    w_len = g_ref.shape[1]
-    ti = pl.program_id(0) * i_tile
-    shape = (i_tile, w_len, p0)
-    w = _hat_weights(ti + _iota3(shape, 0), _iota3(shape, 1),
+    x_tile = g_ref.shape[1]
+    tx = pl.program_id(0) * x_tile
+    shape = (i_tile, x_tile, p0)
+    w = _hat_weights(_iota3(shape, 0), tx + _iota3(shape, 1),
                      _iota3(shape, 2), scalars)
-    # contract x: [p0(j), x] @ [x, c] batched over i
-    out_ref[:, :, :] = jax.lax.dot_general(
+    # contract x: [p0(j), x_tile] @ [x_tile, c] batched over i
+    partial = jax.lax.dot_general(
         w, g_ref[:, :, :],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:, :, :] = partial
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        out_ref[:, :, :] = out_ref[:, :, :] + partial
 
 
 # ---------------------------------------------------------------------------
@@ -105,30 +127,43 @@ def _pass2_fwd_kernel(scalars, t_ref, out_ref):
     # weights indexed [x, y, i] so the contraction batches over x
     w = _hat_weights(ty + _iota3(shape, 1), tx + _iota3(shape, 0),
                      _iota3(shape, 2), scalars)
-    # t tile: [p0, x_tile, c] -> batched over x: [y_tile, p0] @ [p0, c]
+    # mosaic requires batch dims in the same position: bring x leading
+    t_x = jnp.swapaxes(t_ref[:, :, :], 0, 1)  # [x_tile, p0, c]
     out = jax.lax.dot_general(
-        w, t_ref[:, :, :],
-        dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+        w, t_x,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [x_tile, y_tile, c]
     out_ref[:, :, :] = jnp.swapaxes(out, 0, 1)
 
 
 def _pass2_bwd_kernel(scalars, g_ref, out_ref):
-    """dt[i, x, c] = sum_y w(y, x, i) * g[y, x, c]."""
+    """dt[i, x, c] = sum_y w(y, x, i) * g[y, x, c].
+
+    Grid: (x-tiles, y-tiles); the inner y dim revisits + accumulates the
+    output block."""
     i_tile = out_ref.shape[0]
     x_tile = out_ref.shape[1]
-    w_len = g_ref.shape[0]
-    ti = pl.program_id(0) * i_tile
-    tx = pl.program_id(1) * x_tile
-    shape = (x_tile, w_len, i_tile)
-    w = _hat_weights(_iota3(shape, 1), tx + _iota3(shape, 0),
-                     ti + _iota3(shape, 2), scalars)
-    # contract y: batched over x: [i_tile, y] @ [y, c]
+    y_tile = g_ref.shape[0]
+    tx = pl.program_id(0) * x_tile
+    ty = pl.program_id(1) * y_tile
+    shape = (x_tile, y_tile, i_tile)
+    w = _hat_weights(ty + _iota3(shape, 1), tx + _iota3(shape, 0),
+                     _iota3(shape, 2), scalars)
+    # contract y, batch x leading on both operands
+    g_x = jnp.swapaxes(g_ref[:, :, :], 0, 1)  # [x_tile, y_tile, c]
     out = jax.lax.dot_general(
-        w, g_ref[:, :, :],
-        dimension_numbers=(((1,), (0,)), ((0,), (1,))),
+        w, g_x,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [x_tile, i_tile, c]
-    out_ref[:, :, :] = jnp.swapaxes(out, 0, 1)
+    partial = jnp.swapaxes(out, 0, 1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[:, :, :] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        out_ref[:, :, :] = out_ref[:, :, :] + partial
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +191,7 @@ def _call(kernel, scalars, src, out_shape, grid, src_spec, out_spec):
 
 
 def pass1_fwd(canvas: jnp.ndarray, alpha, beta, gamma, radius,
-              w: int, *, x_tile: int = 128) -> jnp.ndarray:
+              w: int, *, x_tile: int = 32) -> jnp.ndarray:
     """canvas [P0, P0, 3] -> t [P0, w, 3]."""
     x_tile = min(x_tile, w)
     p0 = canvas.shape[0]
@@ -170,20 +205,21 @@ def pass1_fwd(canvas: jnp.ndarray, alpha, beta, gamma, radius,
 
 
 def pass1_bwd(g: jnp.ndarray, alpha, beta, gamma, radius,
-              p0: int) -> jnp.ndarray:
-    """g [P0, w, 3] -> dcanvas [P0, P0, 3]."""
+              p0: int, *, x_tile: int = 32) -> jnp.ndarray:
+    """g [P0, w, 3] -> dcanvas [P0, P0, 3] (accumulated over x-tiles)."""
     w = g.shape[1]
+    x_tile = min(x_tile, w)
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
         _pass1_bwd_kernel, scalars, g,
         jax.ShapeDtypeStruct((p0, p0, 3), jnp.float32),
-        grid=(1,),
-        src_spec=pl.BlockSpec((p0, w, 3), lambda i, s: (0, 0, 0)),
-        out_spec=pl.BlockSpec((p0, p0, 3), lambda i, s: (0, 0, 0)))
+        grid=(w // x_tile,),
+        src_spec=pl.BlockSpec((p0, x_tile, 3), lambda x, s: (0, x, 0)),
+        out_spec=pl.BlockSpec((p0, p0, 3), lambda x, s: (0, 0, 0)))
 
 
 def pass2_fwd(t: jnp.ndarray, alpha, beta, gamma, radius, w: int, *,
-              y_tile: int = 128, x_tile: int = 128) -> jnp.ndarray:
+              y_tile: int = 32, x_tile: int = 64) -> jnp.ndarray:
     """t [P0, w, 3] -> out [w, w, 3]."""
     y_tile = min(y_tile, w)
     x_tile = min(x_tile, w)
@@ -198,17 +234,18 @@ def pass2_fwd(t: jnp.ndarray, alpha, beta, gamma, radius, w: int, *,
 
 
 def pass2_bwd(g: jnp.ndarray, alpha, beta, gamma, radius,
-              p0: int, *, x_tile: int = 128) -> jnp.ndarray:
-    """g [w, w, 3] -> dt [P0, w, 3]."""
+              p0: int, *, x_tile: int = 64, y_tile: int = 32) -> jnp.ndarray:
+    """g [w, w, 3] -> dt [P0, w, 3] (accumulated over y-tiles)."""
     w = g.shape[0]
     x_tile = min(x_tile, w)
+    y_tile = min(y_tile, w)
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
         _pass2_bwd_kernel, scalars, g,
         jax.ShapeDtypeStruct((p0, w, 3), jnp.float32),
-        grid=(1, w // x_tile),
-        src_spec=pl.BlockSpec((w, x_tile, 3), lambda i, x, s: (0, x, 0)),
-        out_spec=pl.BlockSpec((p0, x_tile, 3), lambda i, x, s: (0, x, 0)))
+        grid=(w // x_tile, w // y_tile),
+        src_spec=pl.BlockSpec((y_tile, x_tile, 3), lambda x, y, s: (y, x, 0)),
+        out_spec=pl.BlockSpec((p0, x_tile, 3), lambda x, y, s: (0, x, 0)))
 
 
 # ---------------------------------------------------------------------------
