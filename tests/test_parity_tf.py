@@ -33,10 +33,8 @@ def tf_env():
     return tf
 
 
-@pytest.fixture(scope="module")
-def models(tf_env):
+def _build_pair(tf, model_name: str):
     """Reference TF model + our Flax model with converted weights."""
-    tf = tf_env
     import hparams_config as ref_hparams  # vendored reference module
     from tf2 import efficientdet_keras as ref_keras
 
@@ -46,15 +44,18 @@ def models(tf_env):
     from mladversarialobjectdetection_tpu.ckpt import convert_tf
     from mladversarialobjectdetection_tpu.models import efficientdet
 
-    ref_cfg = ref_hparams.get_efficientdet_config("efficientdet-lite0")
+    ref_cfg = ref_hparams.get_efficientdet_config(model_name)
     ref_cfg.image_size = 64
     ref_cfg.fpn_cell_repeats = 2
     ref_cfg.box_class_repeats = 2
+    # reset keras name counters: a second model in the same process would
+    # otherwise get _1-suffixed variable names and break the converter map
+    tf.keras.backend.clear_session()
     tf.random.set_seed(0)
     ref_model = ref_keras.EfficientDetNet(config=ref_cfg)
     ref_model.build((1, 64, 64, 3))
 
-    cfg = mad.get_efficientdet_config("efficientdet-lite0")
+    cfg = mad.get_efficientdet_config(model_name)
     cfg.image_size = 64
     cfg.fpn_cell_repeats = 2
     cfg.box_class_repeats = 2
@@ -68,6 +69,11 @@ def models(tf_env):
     converted = convert_tf.convert_tf_weights(tf_weights, cfg, spec,
                                               variables, prefer_ema=False)
     return ref_model, net, converted
+
+
+@pytest.fixture(scope="module")
+def models(tf_env):
+    return _build_pair(tf_env, "efficientdet-lite0")
 
 
 def test_variable_count_parity(models):
@@ -95,6 +101,24 @@ def test_forward_parity(models):
     for lvl, (rb, ob) in enumerate(zip(ref_box, our_box)):
         diff = np.abs(np.asarray(rb) - np.asarray(ob)).max()
         assert diff < 2e-4, f"box level {lvl}: max diff {diff}"
+
+
+def test_forward_parity_d0(tf_env):
+    """d-variant coverage: squeeze-excite blocks, swish, fastattn WSM
+    weights — exercises the SE and WSM paths of the converter."""
+    import jax
+    ref_model, net, converted = _build_pair(tf_env, "efficientdet-d0")
+    rng = np.random.RandomState(7)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref_cls, ref_box = ref_model(x, training=False)
+    our_cls, our_box = jax.jit(lambda v, xx: net.apply(v, xx, False))(
+        converted, x)
+    for lvl, (rc, oc) in enumerate(zip(ref_cls, our_cls)):
+        diff = np.abs(np.asarray(rc) - np.asarray(oc)).max()
+        assert diff < 5e-4, f"class level {lvl}: max diff {diff}"
+    for lvl, (rb, ob) in enumerate(zip(ref_box, our_box)):
+        diff = np.abs(np.asarray(rb) - np.asarray(ob)).max()
+        assert diff < 5e-4, f"box level {lvl}: max diff {diff}"
 
 
 def test_anchor_parity(tf_env):
