@@ -18,7 +18,11 @@ Run:  python examples/end_to_end_attack.py [--image-size 128] [--steps 300]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

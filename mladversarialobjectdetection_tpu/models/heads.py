@@ -64,8 +64,10 @@ class PredictionNet(nn.Module):
     @nn.compact
     def __call__(self, inputs, training: bool):
         # conv weights shared across levels: instantiate once
-        convs = [_SharedConv(self.num_filters, self.separable_conv,
-                             name=f"conv_{i}") for i in range(self.repeats)]
+        conv_cls = (nn.remat(_SharedConv) if self.grad_checkpoint
+                    else _SharedConv)
+        convs = [conv_cls(self.num_filters, self.separable_conv,
+                          name=f"conv_{i}") for i in range(self.repeats)]
         predict = _SharedConv(self.output_features, self.separable_conv,
                               bias_init_value=self.head_bias_init,
                               name="predict")

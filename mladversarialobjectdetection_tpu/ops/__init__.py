@@ -1,1 +1,2 @@
-from . import anchors, nms, preprocess, color, eot  # noqa: F401
+from . import (anchors, color, eot, iou_loss, nms, nms_np,  # noqa: F401
+               postprocess, preprocess, wbf)
