@@ -81,7 +81,8 @@ class PatchAttacker:
 
     def __init__(self, config, det_variables, *, patch_size: int = 640,
                  learning_rate: float = 1e-2, tolerance: float = 0.2,
-                 bn_axis_name: str | None = None):
+                 bn_axis_name: str | None = None,
+                 use_histogram_match: bool = False):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
@@ -99,6 +100,9 @@ class PatchAttacker:
         self.pre_nms_topk = int(nms_cfg.get("pre_nms_topk") or 1024)
         self.score_thresh = float(nms_cfg.get("score_thresh") or 0.0)
         self.tolerance = tolerance
+        # full histogram specification instead of mean matching
+        # (brightness_matcher.py HistogramMatcher option)
+        self.use_histogram_match = use_histogram_match
         self._params_dict = config.as_dict()
 
     # -- state -------------------------------------------------------------
@@ -160,7 +164,8 @@ class PatchAttacker:
     def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key):
         patched, _ = eot.apply_patches(
             key, images, boxes, boxes_valid, patch, scale,
-            tolerance=self.tolerance)
+            tolerance=self.tolerance,
+            use_histogram_match=self.use_histogram_match)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
         scale_losses = (max_scores - scale) ** 2
