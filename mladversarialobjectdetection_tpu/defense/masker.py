@@ -27,11 +27,13 @@ TRAIN_TOLERANCE = 0.5
 NOISE_MAG = 0.1
 
 
-def make_train_patches(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+def make_train_patches(key: jax.Array, images: jnp.ndarray,
+                       crop: int = TRAIN_CROP) -> jnp.ndarray:
     """Self-supervised patch sources: shuffled batch crops + random flips
     (attack_detection.py:487-492)."""
+    crop = min(crop, images.shape[1], images.shape[2])
     k_shuf, k_lr, k_ud = jax.random.split(key, 3)
-    crops = images[:, :TRAIN_CROP, :TRAIN_CROP, :]
+    crops = images[:, :crop, :crop, :]
     perm = jax.random.permutation(k_shuf, images.shape[0])
     crops = crops[perm]
     flip_lr = jax.random.bernoulli(k_lr, 0.5, (images.shape[0],))
@@ -55,7 +57,7 @@ def apply_masker(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         train_patches = make_train_patches(k_patch, images)
         patched, region = eot.apply_patches(
             k_apply, images, boxes, boxes_valid,
-            jnp.zeros((TRAIN_CROP, TRAIN_CROP, 3), images.dtype),  # unused
+            jnp.zeros_like(train_patches[0]),  # unused placeholder
             0.0, tolerance=TRAIN_TOLERANCE, noise_mag=NOISE_MAG,
             random_scale_range=TRAIN_SCALE_RANGE,
             per_image_patches=train_patches)

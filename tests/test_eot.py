@@ -96,3 +96,26 @@ def test_masker_train_targets():
     # targets zero where untouched
     untouched = ~np.asarray(changed)
     assert np.allclose(np.asarray(targets)[untouched], 0.0)
+
+
+def test_masker_train_mode():
+    """Self-supervised mode: patches come from shuffled batch crops with
+    per-slot random scale (attack_detection.py:487-492)."""
+    key, imgs, boxes, valid, _ = _setup(hw=64)
+    patched, targets = masker.apply_masker(key, imgs, boxes, valid,
+                                           training=True)
+    changed = jnp.any(jnp.abs(patched - imgs) > 1e-6, axis=-1)
+    assert bool(changed.any())
+    # reconstruction identity holds in train mode too
+    recon = patched + targets
+    assert np.allclose(np.asarray(recon), np.asarray(imgs), atol=1e-5)
+    assert float(patched.min()) >= -1.0 and float(patched.max()) <= 1.0
+
+
+def test_make_train_patches_shuffles_and_flips():
+    key = jax.random.PRNGKey(3)
+    imgs = jax.random.uniform(key, (4, 64, 64, 3))
+    crops = masker.make_train_patches(key, imgs)
+    assert crops.shape == (4, 64, 64, 3)  # crop clamped to image size
+    # content comes from the batch (values subset of input range)
+    assert float(crops.min()) >= float(imgs.min()) - 1e-6
