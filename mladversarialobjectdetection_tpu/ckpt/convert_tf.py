@@ -29,7 +29,15 @@ import numpy as np
 
 
 def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read a TF checkpoint into {var_name: ndarray} (no ':0' suffixes)."""
+    """Read a TF checkpoint into {var_name: ndarray} (no ':0' suffixes).
+
+    Targets TF1 name-based checkpoints — the format of the official
+    cloud-tpu-checkpoints EfficientDet releases the reference downloads
+    (util.py:76-88); their keys are exactly the variable names plus
+    optional `/ExponentialMovingAverage` shadows. TF2 object-based
+    checkpoints (`.../.ATTRIBUTES/VARIABLE_VALUE` keys) are not mapped —
+    convert via a live keras model + tf_weights_from_keras_model instead.
+    """
     import tensorflow as tf
     reader = tf.train.load_checkpoint(path)
     out = {}

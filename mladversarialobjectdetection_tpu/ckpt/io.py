@@ -31,6 +31,23 @@ def save_pytree(path: str, tree: Any) -> None:
             pickle.dump(_to_numpy(tree), f)
 
 
+def save_state_bytes(path: str, state: Any) -> None:
+    """Structure-preserving state serialization (flax msgpack) — for full
+    training states whose pytrees contain optimizer namedtuples that a
+    generic PyTree restore would flatten into dicts."""
+    from flax import serialization
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_numpy(state)))
+
+
+def load_state_bytes(path: str, template: Any) -> Any:
+    """Restore bytes into the template's exact pytree structure."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def load_pytree(path: str) -> Any:
     path = os.path.abspath(path)
     if os.path.isdir(path):

@@ -62,7 +62,7 @@ def train(model_name: str = "efficientdet-d0", *,
           model_dir: str = "detector_out", batch_size: int = 8,
           num_epochs: int | None = None, steps_per_epoch: int = 1000,
           eval_batches: int = 50, map_freq: int = 5, image_size=None,
-          seed: int = 0):
+          seed: int = 0, resume: bool = False):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
@@ -72,7 +72,15 @@ def train(model_name: str = "efficientdet-d0", *,
     mesh = make_mesh_for_batch(batch_size)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
                               bn_axis_name=None)
-    state = replicate(mesh, trainer.init_state(jax.random.PRNGKey(seed)))
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+    start_epoch = 0
+    latest = os.path.join(model_dir, "state-latest.msgpack")
+    if resume and os.path.exists(latest):
+        # resume-from-latest (tf2/train.py:247-252 parity)
+        state = ckpt_io.load_state_bytes(latest, state)
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+        logger.info(f"resumed from {latest} at epoch {start_epoch}")
+    state = replicate(mesh, state)
     train_step = jax.jit(trainer.train_step, donate_argnums=0)
 
     if train_pattern:
@@ -104,7 +112,7 @@ def train(model_name: str = "efficientdet-d0", *,
     mlog = MetricLogger(os.path.join(model_dir, "logs"))
     thr = Throughput()
 
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         thr.start()
         metrics = None
         for _ in range(steps_per_epoch):
@@ -119,6 +127,9 @@ def train(model_name: str = "efficientdet-d0", *,
                     f"{thr.rate():.1f} img/s")
         ckpt_io.save_pytree(os.path.join(model_dir, f"ckpt-{epoch}"),
                             trainer.eval_variables(state))
+        # full-state checkpoint for resume (incl. optimizer + EMA)
+        ckpt_io.save_state_bytes(
+            os.path.join(model_dir, "state-latest.msgpack"), state)
         if val_pattern and (epoch + 1) % map_freq == 0:
             val_reader = DetectionTFRecordReader(
                 val_pattern, image_size=config.image_size,
@@ -142,11 +153,13 @@ def main():
     p.add_argument("--num-epochs", type=int, default=None)
     p.add_argument("--steps-per-epoch", type=int, default=1000)
     p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from model_dir/state-latest.msgpack")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
           num_epochs=a.num_epochs, steps_per_epoch=a.steps_per_epoch,
-          image_size=a.image_size)
+          image_size=a.image_size, resume=a.resume)
 
 
 if __name__ == "__main__":
