@@ -61,3 +61,41 @@ def test_coco_convert_roundtrip(tmp_path):
     # image (scale .8): ymin=6*.8=4.8, xmin=6.4, ymax=28.8, xmax=38.4
     assert np.allclose(batch["boxes"][0, 0], [4.8, 6.4, 28.8, 38.4],
                        atol=0.05)
+
+
+def test_autoaugment_ops():
+    from mladversarialobjectdetection_tpu.data import autoaugment as aa
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    boxes = np.array([[10, 10, 40, 30]], np.float32)
+    for name in ("Equalize", "Color", "Contrast", "Brightness", "Sharpness",
+                 "Solarize", "Posterize", "Cutout"):
+        out, b2 = aa._apply_op(rng, img, boxes, name, 6.0)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert np.allclose(b2, boxes)  # pixel ops never move boxes
+    for name in ("TranslateX_BBox", "TranslateY_BBox", "ShearX_BBox",
+                 "ShearY_BBox", "Rotate_BBox"):
+        out, b2 = aa._apply_op(rng, img, boxes, name, 6.0)
+        assert out.shape == img.shape
+        assert b2.shape == boxes.shape
+        assert (b2[:, 2] >= b2[:, 0]).all() and (b2[:, 3] >= b2[:, 1]).all()
+        assert b2.min() >= 0 and b2[:, 0::2].max() <= 64
+
+
+def test_autoaugment_translate_moves_boxes():
+    from mladversarialobjectdetection_tpu.data import autoaugment as aa
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[10, 10, 30, 30]], np.float32)
+    out, b2 = aa._translate(img, boxes, 5.0, -3.0)
+    assert np.allclose(b2[0], [7, 15, 27, 35])
+
+
+def test_autoaugment_policy_runs():
+    from mladversarialobjectdetection_tpu.data import autoaugment as aa
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (96, 96, 3), np.uint8)
+    boxes = np.array([[20, 20, 60, 50]], np.float32)
+    for _ in range(10):
+        out, b2 = aa.distort_image_with_autoaugment(rng, img, boxes, "v0")
+        assert out.shape == img.shape
+        assert b2.shape == (1, 4)
