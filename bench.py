@@ -25,7 +25,7 @@ BASELINE_IMG_PER_SEC = 17.0
 
 
 def bench_attack_train(model_name: str = "efficientdet-lite4",
-                       batch_size: int = 12, iters: int = 10,
+                       batch_size: int = 24, iters: int = 10,
                        warmup: int = 3, verbose: bool = False) -> float:
     import sys
 

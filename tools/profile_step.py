@@ -1,0 +1,95 @@
+"""Component-level profile of the attack training step on real hardware.
+
+Usage:  python tools/profile_step.py [--model efficientdet-lite4]
+                                     [--image-size 640] [--batch 12]
+
+Prints fenced per-component timings (detector forward, first pass with
+NMS, EOT forward+grad, full train step). All timings are host-read fenced
+(see BENCH_NOTES.md: block_until_ready is unreliable on remote-execution
+platforms).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fenced(fn, *args, n=8):
+    out = fn(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _i in range(n):
+        out = fn(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+    return (time.perf_counter() - t0) / n
+
+
+def main(model_name="efficientdet-lite4", image_size=None, batch=12):
+    import mladversarialobjectdetection_tpu as mad
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    from mladversarialobjectdetection_tpu.models.efficientdet import (
+        EfficientDetNet, spec_from_config)
+    from mladversarialobjectdetection_tpu.ops import eot
+
+    cfg = mad.get_efficientdet_config(model_name)
+    cfg.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    cfg.mixed_precision = True
+    if image_size is not None:
+        cfg.image_size = image_size
+    spec = spec_from_config(cfg)
+    net = EfficientDetNet(spec)
+    hw = spec.image_size
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, *hw, 3),
+                           minval=-1, maxval=1)
+    variables = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(0)}, x[:1], training=False)
+    _ = float(np.asarray(jax.tree.leaves(variables["params"])[0]).reshape(-1)[0])
+    print(f"model {model_name} @ {hw} batch {batch}", flush=True)
+
+    fwd = jax.jit(lambda v, xx: net.apply(v, xx, False))
+    print(f"detector fwd:        {fenced(fwd, variables, x)*1e3:7.1f} ms",
+          flush=True)
+
+    attacker = PatchAttacker(cfg, variables)
+    fp = jax.jit(attacker.first_pass)
+    print(f"first_pass (+NMS):   {fenced(fp, x)*1e3:7.1f} ms", flush=True)
+
+    boxes, scores, valid = fp(x)
+    bx = boxes[:, :attacker.max_boxes]
+    bv = valid[:, :attacker.max_boxes]
+    patch = jax.random.uniform(jax.random.PRNGKey(1),
+                               (attacker.patch_size, attacker.patch_size, 3),
+                               minval=-1, maxval=1)
+    key = jax.random.PRNGKey(2)
+
+    def eot_loss(k, im, b, v, p):
+        out, _ = eot.apply_patches(k, im, b, v, p, 0.4)
+        return jnp.sum(out ** 2)
+
+    g = jax.jit(jax.value_and_grad(eot_loss, argnums=4))
+    print(f"EOT fwd+grad:        {fenced(g, key, x, bx, bv, patch)*1e3:7.1f} ms",
+          flush=True)
+
+    state = attacker.init_state(jax.random.PRNGKey(3))
+    step = jax.jit(attacker.train_step)
+    dt = fenced(lambda s, xx: step(s, xx)[0].patch, state, x)
+    print(f"full train step:     {dt*1e3:7.1f} ms "
+          f"({batch/dt:.1f} img/s/chip)", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="efficientdet-lite4")
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--batch", type=int, default=12)
+    a = p.parse_args()
+    main(a.model, a.image_size, a.batch)
