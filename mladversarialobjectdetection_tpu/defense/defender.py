@@ -148,7 +148,7 @@ class PatchAttackDefender:
         (attack_detection.py:168-206, training=False branch)."""
         assert self.eval_patch is not None
         k_mask, _ = jax.random.split(state.key)
-        boxes, _, valid = self.odet_boxes(images)
+        boxes, clean_scores, valid = self.odet_boxes(images)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = valid[:, :self.max_boxes]
         patched, targets = masker_lib.apply_masker(
@@ -166,7 +166,7 @@ class PatchAttackDefender:
 
         return DefenderMetrics(
             loss,
-            _masked_mean(adv_scores, adv_valid),
+            _masked_mean(clean_scores, valid),
             _masked_mean(adv_scores, adv_valid))
 
     def recover(self, state: DefenderState, images: jnp.ndarray) -> jnp.ndarray:

@@ -112,6 +112,21 @@ def train(model_name: str = "efficientdet-lite4", *,
                         "epoch": epoch}, prefix="val/")
         logger.info(f"epoch {epoch}: val_loss={val_loss:.4f} {ips:.1f} img/s")
 
+        # split-violin of clean vs post-attack score distributions
+        # (host-side replacement for the tfplot violin at
+        # attack_detection.py:208-237)
+        if epoch % 10 == 0:
+            try:
+                from ..utils import visualize
+                clean = [float(v.mean_clean_score) for v in vals]
+                adv = [float(v.mean_adv_score) for v in vals]
+                img = visualize.plot_score_violin(clean, adv)
+                from PIL import Image
+                Image.fromarray(img).save(
+                    os.path.join(save_dir, "logs", f"scores_{epoch:03d}.png"))
+            except Exception as e:  # viz must never kill training
+                logger.warning(f"violin viz failed: {e}")
+
         if val_loss < best_val:
             best_val = val_loss
             out = os.path.join(save_dir, f"patch_{epoch:02d}_{val_loss:.4f}",
