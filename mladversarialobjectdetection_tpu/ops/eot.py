@@ -325,11 +325,14 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
     bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
                                 maxval=brightness_mag)
 
-    # remat: the hat-weight tensors are enormous but trivially recomputable
-    # from a few scalars — never save them for backward
     warp = _warp_window_pallas if use_pallas else _warp_window_matmul
 
-    @functools.partial(jax.checkpoint, static_argnums=())
+    # remat policy: the enormous hat-weight tensors (pure functions of four
+    # scalars) are regenerated in the backward pass instead of stored
+    # (storing them OOMs HBM); dots_saveable keeps the small matmul
+    # OUTPUTS (t/sample) so the forward itself is not recomputed
+    @functools.partial(jax.checkpoint,
+                       policy=jax.checkpoint_policies.dots_saveable)
     def patched_window(win, canvas_, geom_scalars, oy, ox, bright_i, ok):
         sample, inside, region = warp(canvas_, oy, ox, geom_scalars, wsz)
         val = jnp.clip(sample + noise + bright_i, -1.0, 1.0)
