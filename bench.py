@@ -45,7 +45,11 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     t_start = time.perf_counter()
     log("start")
     config = mad.get_efficientdet_config(model_name)
-    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5,
+                               # static NMS candidate cap: with score_thresh
+                               # .5 there are never 256 above-threshold
+                               # person anchors in an image
+                               "pre_nms_topk": 256})
     # bf16 activations / fp32 params+predictions: the TPU-native precision
     # policy for the attack (automl utils.py:552-642 equivalent)
     config.mixed_precision = True
@@ -58,7 +62,9 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     float(jax.tree.leaves(variables["params"])[0].sum())  # host fence
     log("init done")
 
-    attacker = PatchAttacker(config, variables)
+    # 320px composite window covers the learned-scale patch regime
+    # (diag <= 320 <=> patch side <= 226px; see ops/eot.py)
+    attacker = PatchAttacker(config, variables, window=320)
     state = attacker.init_state(jax.random.PRNGKey(1))
     images = jax.random.uniform(
         jax.random.PRNGKey(2), (batch_size, *spec.image_size, 3),

@@ -82,7 +82,8 @@ class PatchAttacker:
     def __init__(self, config, det_variables, *, patch_size: int = 640,
                  learning_rate: float = 1e-2, tolerance: float = 0.2,
                  bn_axis_name: str | None = None,
-                 use_histogram_match: bool = False):
+                 use_histogram_match: bool = False,
+                 window: int | None = None):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
@@ -103,6 +104,10 @@ class PatchAttacker:
         # full histogram specification instead of mean matching
         # (brightness_matcher.py HistogramMatcher option)
         self.use_histogram_match = use_histogram_match
+        # static EOT composite window (None -> ops/eot.default_window);
+        # patches whose rotation region exceeds it are clamped — see
+        # ops/eot.py geometry notes
+        self.window = window
         self._params_dict = config.as_dict()
 
     # -- state -------------------------------------------------------------
@@ -164,7 +169,7 @@ class PatchAttacker:
     def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key):
         patched, _ = eot.apply_patches(
             key, images, boxes, boxes_valid, patch, scale,
-            tolerance=self.tolerance,
+            tolerance=self.tolerance, window=self.window,
             use_histogram_match=self.use_histogram_match)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
@@ -242,7 +247,7 @@ class PatchAttacker:
         patched, _ = eot.apply_patches(
             k_eot, images, boxes[:, :self.max_boxes],
             clean_valid[:, :self.max_boxes], state.patch, state.scale,
-            tolerance=self.tolerance)
+            tolerance=self.tolerance, window=self.window)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         _, adv_scores, adv_valid = self._nms(adv_boxes, adv_masked)
 
