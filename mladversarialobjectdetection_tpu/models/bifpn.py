@@ -113,6 +113,7 @@ class ResampleFeatureMap(nn.Module):
     apply_bn: bool = True
     conv_after_downsample: bool = False
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
@@ -122,9 +123,11 @@ class ResampleFeatureMap(nn.Module):
         def maybe_1x1(feat):
             if c != self.target_num_channels:
                 feat = nn.Conv(self.target_num_channels, (1, 1),
-                               kernel_init=_conv_init, name="conv2d")(feat)
+                               kernel_init=_conv_init, dtype=self.dtype,
+                               name="conv2d")(feat)
                 if self.apply_bn:
                     feat = BatchNorm(axis_name=self.bn_axis_name,
+                                     dtype=self.dtype,
                                      name="bn")(feat, training)
             return feat
 
@@ -156,6 +159,7 @@ class FNode(nn.Module):
     conv_after_downsample: bool = False
     conv_bn_act_pattern: bool = False
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], training: bool):
@@ -165,7 +169,7 @@ class FNode(nn.Module):
                 self.fpn_num_filters, self.feat_hw,
                 apply_bn=self.apply_bn_for_resampling,
                 conv_after_downsample=self.conv_after_downsample,
-                bn_axis_name=self.bn_axis_name,
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name=f"resample_{i}_{offset}")(feats[offset], training))
 
         dtype = nodes[0].dtype
@@ -199,17 +203,20 @@ class FNode(nn.Module):
             new_node = nn.Conv(
                 self.fpn_num_filters, (3, 3),
                 feature_group_count=self.fpn_num_filters, use_bias=False,
-                kernel_init=_conv_init, name="conv_dw")(new_node)
+                kernel_init=_conv_init, dtype=self.dtype,
+                name="conv_dw")(new_node)
             new_node = nn.Conv(
                 self.fpn_num_filters, (1, 1),
                 use_bias=not self.conv_bn_act_pattern,
-                kernel_init=_conv_init, name="conv_pw")(new_node)
+                kernel_init=_conv_init, dtype=self.dtype,
+                name="conv_pw")(new_node)
         else:
             new_node = nn.Conv(
                 self.fpn_num_filters, (3, 3),
                 use_bias=not self.conv_bn_act_pattern,
-                kernel_init=_conv_init, name="conv")(new_node)
-        new_node = BatchNorm(axis_name=self.bn_axis_name,
+                kernel_init=_conv_init, dtype=self.dtype,
+                name="conv")(new_node)
+        new_node = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
                              name="bn")(new_node, training)
         if self.conv_bn_act_pattern:
             new_node = activation(new_node, self.act_type)
@@ -229,6 +236,7 @@ class FPNCell(nn.Module):
     conv_after_downsample: bool = False
     conv_bn_act_pattern: bool = False
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, feats, training: bool):
@@ -242,7 +250,7 @@ class FPNCell(nn.Module):
                 apply_bn_for_resampling=self.apply_bn_for_resampling,
                 conv_after_downsample=self.conv_after_downsample,
                 conv_bn_act_pattern=self.conv_bn_act_pattern,
-                bn_axis_name=self.bn_axis_name,
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name=f"fnode{i}")(feats, training)
             feats.append(new_node)
         return feats
@@ -264,6 +272,7 @@ class FPNCells(nn.Module):
     conv_after_downsample: bool = False
     conv_bn_act_pattern: bool = False
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
     grad_checkpoint: bool = False
 
     @nn.compact
@@ -277,7 +286,8 @@ class FPNCells(nn.Module):
                 self.level_hw, self.weight_method, self.act_type,
                 self.separable_conv, self.apply_bn_for_resampling,
                 self.conv_after_downsample, self.conv_bn_act_pattern,
-                self.bn_axis_name, name=f"cell_{rep}")(feats, training)
+                self.bn_axis_name, self.dtype,
+                name=f"cell_{rep}")(feats, training)
             # re-select one output per level: the last node at that level
             feats = []
             for level in range(self.min_level, self.max_level + 1):

@@ -96,10 +96,11 @@ class EfficientDetNet(nn.Module):
     def __call__(self, images, training: bool = False):
         spec = self.spec
         x = images
+        cdtype = jnp.bfloat16 if spec.mixed_precision else None
         if spec.mixed_precision:
             x = x.astype(jnp.bfloat16)
 
-        endpoints = EfficientNet(spec.backbone, self.bn_axis_name,
+        endpoints = EfficientNet(spec.backbone, self.bn_axis_name, cdtype,
                                  name="backbone")(x, training)
         # endpoints[i] == reduction_{i+1}; levels min..5 come from backbone
         feats = [endpoints[level - 1]
@@ -110,7 +111,7 @@ class EfficientDetNet(nn.Module):
                 spec.fpn_num_filters, spec.level_hw[level],
                 apply_bn=spec.apply_bn_for_resampling,
                 conv_after_downsample=spec.conv_after_downsample,
-                bn_axis_name=self.bn_axis_name,
+                bn_axis_name=self.bn_axis_name, dtype=cdtype,
                 name=f"resample_p{level}")(feats[-1], training))
 
         fpn_feats = bifpn.FPNCells(
@@ -118,7 +119,7 @@ class EfficientDetNet(nn.Module):
             spec.fpn_cell_repeats, spec.fpn_num_filters, spec.level_hw,
             spec.fpn_weight_method, spec.act_type, spec.separable_conv,
             spec.apply_bn_for_resampling, spec.conv_after_downsample,
-            spec.conv_bn_act_pattern, self.bn_axis_name,
+            spec.conv_bn_act_pattern, self.bn_axis_name, cdtype,
             spec.grad_checkpoint, name="fpn_cells")(feats, training)
 
         num_levels = spec.max_level - spec.min_level + 1
@@ -128,12 +129,12 @@ class EfficientDetNet(nn.Module):
                 spec.num_classes, spec.num_anchors, spec.fpn_num_filters,
                 num_levels, spec.box_class_repeats, spec.act_type,
                 spec.separable_conv, spec.survival_prob, self.bn_axis_name,
-                spec.grad_checkpoint)(fpn_feats, training)
+                spec.grad_checkpoint, cdtype)(fpn_feats, training)
             box_out = heads.box_net(
                 spec.num_anchors, spec.fpn_num_filters, num_levels,
                 spec.box_class_repeats, spec.act_type, spec.separable_conv,
                 spec.survival_prob, self.bn_axis_name,
-                spec.grad_checkpoint)(fpn_feats, training)
+                spec.grad_checkpoint, cdtype)(fpn_feats, training)
             # predictions always fp32 for stable postprocessing/losses
             outputs.append([c.astype(jnp.float32) for c in cls_out])
             outputs.append([b.astype(jnp.float32) for b in box_out])

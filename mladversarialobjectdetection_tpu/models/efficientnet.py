@@ -173,11 +173,14 @@ class BatchNorm(nn.Module):
 
     The TPU equivalent of TpuBatchNormalization / SyncBatchNormalization
     (automl utils.py:166-241): when `axis_name` is set and training, flax
-    reduces batch statistics with lax.pmean over the mesh axis.
+    reduces batch statistics with lax.pmean over the mesh axis. `dtype`
+    is the COMPUTE dtype (bf16 under mixed precision; params stay f32 —
+    without it flax promotes bf16 activations back to f32 at every layer).
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
@@ -186,6 +189,7 @@ class BatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name if training else None,
+            dtype=self.dtype,
             name="bn")(x)
 
 
@@ -200,15 +204,16 @@ class SqueezeExcite(nn.Module):
     se_filters: int
     output_filters: int
     act_type: str
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(self.se_filters, (1, 1), kernel_init=_conv_init,
-                    name="reduce")(pooled)
+                    dtype=self.dtype, name="reduce")(pooled)
         s = activation(s, self.act_type)
         s = nn.Conv(self.output_filters, (1, 1), kernel_init=_conv_init,
-                    name="expand")(s)
+                    dtype=self.dtype, name="expand")(s)
         return jax.nn.sigmoid(s) * x
 
 
@@ -217,17 +222,18 @@ class MBConvBlock(nn.Module):
     args: BlockArgs
     spec: BackboneSpec
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool, survival_prob: Optional[float] = None):
         ba = self.args
         inputs = x
         bn = lambda name: BatchNorm(self.spec.bn_momentum, self.spec.bn_epsilon,
-                                    self.bn_axis_name, name=name)
+                                    self.bn_axis_name, self.dtype, name=name)
         if ba.expand_ratio != 1:
             filters = ba.input_filters * ba.expand_ratio
             x = nn.Conv(filters, (1, 1), use_bias=False, kernel_init=_conv_init,
-                        name="expand_conv")(x)
+                        dtype=self.dtype, name="expand_conv")(x)
             x = activation(bn("bn0")(x, training), self.spec.act_type)
         else:
             # no expansion: depthwise operates on the actual input channels
@@ -238,16 +244,17 @@ class MBConvBlock(nn.Module):
         x = nn.Conv(filters, (ba.kernel_size, ba.kernel_size),
                     strides=ba.strides, feature_group_count=filters,
                     use_bias=False, kernel_init=_conv_init,
-                    name="depthwise_conv")(x)
+                    dtype=self.dtype, name="depthwise_conv")(x)
         x = activation(bn("bn1")(x, training), self.spec.act_type)
 
         if self.spec.use_se and ba.se_ratio:
             se_filters = max(1, int(ba.input_filters * ba.se_ratio))
             x = SqueezeExcite(se_filters, filters, self.spec.act_type,
-                              name="se")(x)
+                              self.dtype, name="se")(x)
 
         x = nn.Conv(ba.output_filters, (1, 1), use_bias=False,
-                    kernel_init=_conv_init, name="project_conv")(x)
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="project_conv")(x)
         x = bn("bn2")(x, training)
 
         if (ba.id_skip and ba.strides == (1, 1)
@@ -264,14 +271,16 @@ class EfficientNet(nn.Module):
     efficientnet_model.py:711-780)."""
     spec: BackboneSpec
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         spec = self.spec
         x = nn.Conv(spec.stem_filters, (3, 3), strides=(2, 2), use_bias=False,
-                    kernel_init=_conv_init, name="stem_conv")(x)
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="stem_conv")(x)
         x = BatchNorm(spec.bn_momentum, spec.bn_epsilon, self.bn_axis_name,
-                      name="stem_bn")(x, training)
+                      self.dtype, name="stem_bn")(x, training)
         x = activation(x, spec.act_type)
 
         endpoints = []
@@ -281,7 +290,7 @@ class EfficientNet(nn.Module):
             if spec.survival_prob:
                 drop_rate = 1.0 - spec.survival_prob
                 survival_prob = 1.0 - drop_rate * float(idx) / n_blocks
-            x = MBConvBlock(ba, spec, self.bn_axis_name,
+            x = MBConvBlock(ba, spec, self.bn_axis_name, self.dtype,
                             name=f"blocks_{idx}")(x, training, survival_prob)
             is_reduction = (idx == n_blocks - 1 or
                             spec.blocks[idx + 1].strides[0] > 1)

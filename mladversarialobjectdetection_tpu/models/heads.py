@@ -26,6 +26,7 @@ class _SharedConv(nn.Module):
     separable: bool
     use_bias: bool = True
     bias_init_value: float = 0.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
@@ -33,14 +34,14 @@ class _SharedConv(nn.Module):
         if self.separable:
             x = nn.Conv(x.shape[-1], (3, 3),
                         feature_group_count=x.shape[-1], use_bias=False,
-                        kernel_init=_pw_init, name="dw")(x)
+                        kernel_init=_pw_init, dtype=self.dtype, name="dw")(x)
             x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
                         kernel_init=_pw_init, bias_init=bias_init,
-                        name="pw")(x)
+                        dtype=self.dtype, name="pw")(x)
         else:
             x = nn.Conv(self.features, (3, 3), use_bias=self.use_bias,
                         kernel_init=_dense_head_init, bias_init=bias_init,
-                        name="conv")(x)
+                        dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -60,6 +61,7 @@ class PredictionNet(nn.Module):
     survival_prob: Optional[float] = None
     bn_axis_name: Optional[str] = None
     grad_checkpoint: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, inputs, training: bool):
@@ -67,17 +69,18 @@ class PredictionNet(nn.Module):
         conv_cls = (nn.remat(_SharedConv) if self.grad_checkpoint
                     else _SharedConv)
         convs = [conv_cls(self.num_filters, self.separable_conv,
+                          dtype=self.dtype,
                           name=f"conv_{i}") for i in range(self.repeats)]
         predict = _SharedConv(self.output_features, self.separable_conv,
                               bias_init_value=self.head_bias_init,
-                              name="predict")
+                              dtype=self.dtype, name="predict")
         outputs = []
         for level_id in range(self.num_levels):
             x = inputs[level_id]
             for i in range(self.repeats):
                 original = x
                 x = convs[i](x)
-                x = BatchNorm(axis_name=self.bn_axis_name,
+                x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
                               name=f"bn_{i}_l{level_id}")(x, training)
                 x = activation(x, self.act_type)
                 if i > 0 and self.survival_prob:
@@ -90,14 +93,14 @@ class PredictionNet(nn.Module):
 def class_net(num_classes: int, num_anchors: int, num_filters: int,
               num_levels: int, repeats: int, act_type: str,
               separable_conv: bool, survival_prob=None, bn_axis_name=None,
-              grad_checkpoint=False) -> PredictionNet:
+              grad_checkpoint=False, dtype=None) -> PredictionNet:
     return PredictionNet(
         output_features=num_classes * num_anchors,
         num_filters=num_filters, num_levels=num_levels, repeats=repeats,
         act_type=act_type, separable_conv=separable_conv,
         head_bias_init=-math.log((1 - 0.01) / 0.01),
         survival_prob=survival_prob, bn_axis_name=bn_axis_name,
-        grad_checkpoint=grad_checkpoint, name="class_net")
+        grad_checkpoint=grad_checkpoint, dtype=dtype, name="class_net")
 
 
 class SegmentationHead(nn.Module):
@@ -133,10 +136,10 @@ class SegmentationHead(nn.Module):
 def box_net(num_anchors: int, num_filters: int, num_levels: int,
             repeats: int, act_type: str, separable_conv: bool,
             survival_prob=None, bn_axis_name=None,
-            grad_checkpoint=False) -> PredictionNet:
+            grad_checkpoint=False, dtype=None) -> PredictionNet:
     return PredictionNet(
         output_features=4 * num_anchors,
         num_filters=num_filters, num_levels=num_levels, repeats=repeats,
         act_type=act_type, separable_conv=separable_conv,
         survival_prob=survival_prob, bn_axis_name=bn_axis_name,
-        grad_checkpoint=grad_checkpoint, name="box_net")
+        grad_checkpoint=grad_checkpoint, dtype=dtype, name="box_net")
