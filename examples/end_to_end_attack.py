@@ -52,7 +52,7 @@ def synthetic_scene_batch(rng, batch, hw, n_boxes=2):
 
 
 def main(image_size=128, det_steps=300, attack_steps=150, defend_steps=60,
-         batch=8, seed=0):
+         batch=8, seed=0, bf16=False):
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
     from mladversarialobjectdetection_tpu.defense.defender import \
@@ -68,6 +68,7 @@ def main(image_size=128, det_steps=300, attack_steps=150, defend_steps=60,
     cfg.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5,
                             "pre_nms_topk": 256, "max_output_size": 25})
     cfg.max_boxes_per_image = 8
+    cfg.mixed_precision = bf16
     cfg.learning_rate = 0.08
     cfg.lr_warmup_init = 0.004
     cfg.optimizer = "sgd"
@@ -147,5 +148,7 @@ if __name__ == "__main__":
     p.add_argument("--attack-steps", type=int, default=150)
     p.add_argument("--defend-steps", type=int, default=60)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--bf16", action="store_true")
     a = p.parse_args()
-    main(a.image_size, a.det_steps, a.attack_steps, a.defend_steps, a.batch)
+    main(a.image_size, a.det_steps, a.attack_steps, a.defend_steps, a.batch,
+         bf16=a.bf16)
