@@ -24,8 +24,11 @@ import jax.numpy as jnp
 
 
 def fenced(fn, *args, n=8):
-    out = fn(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+    # two warm fenced calls: the first can absorb leftover device-queue work
+    # on this platform and report garbage (see BENCH_NOTES.md)
+    for _i in range(2):
+        out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
     t0 = time.perf_counter()
     for _i in range(n):
         out = fn(*args)
