@@ -80,6 +80,20 @@ def detection_loss(cls_outputs: Sequence[jnp.ndarray],
     return total, {"cls_loss": cls_loss, "box_loss": box_loss}
 
 
+def class_weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,
+                       pos_weight: float = 1.0,
+                       neg_weight: float = 1.0) -> jnp.ndarray:
+    """Class-weighted binary cross-entropy.
+
+    Parity with reference util.py:192-213 (kept unused there "for reuse"):
+    per-element BCE where positives/negatives carry separate weights.
+    """
+    ce = (jnp.maximum(logits, 0) - logits * labels
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    weights = labels * pos_weight + (1.0 - labels) * neg_weight
+    return weights * ce
+
+
 def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
     """Weight decay over conv/dense kernels only (train_lib.py:617-623
     filters BN/bias by name)."""

@@ -107,3 +107,12 @@ def test_trainer_step(tiny_cfg):
     assert not np.allclose(p0, p1)
     st3, m2 = step(st2, images, gt_boxes, gt_classes, gt_valid)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_class_weighted_bce():
+    logits = jnp.array([0.0, 0.0])
+    labels = jnp.array([1.0, 0.0])
+    out = losses.class_weighted_bce(logits, labels, pos_weight=2.0,
+                                    neg_weight=0.5)
+    ce = np.log(2.0)
+    assert np.allclose(out, [2.0 * ce, 0.5 * ce], atol=1e-6)
