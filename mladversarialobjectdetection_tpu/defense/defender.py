@@ -55,7 +55,9 @@ class PatchAttackDefender:
         self.spec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec)
         self.det_variables = det_variables
-        self.unet = PatchNeutralizer(n_filters=n_filters)
+        unet_dtype = (jnp.bfloat16 if config.get("mixed_precision")
+                      else None)
+        self.unet = PatchNeutralizer(n_filters=n_filters, dtype=unet_dtype)
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate)
         self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)

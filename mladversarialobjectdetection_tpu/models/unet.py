@@ -26,16 +26,18 @@ class ConvBlock(nn.Module):
     batchnorm: bool = True
     dropout: Optional[float] = None
     maxpool: bool = True
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for j in (1, 2):
             x = nn.Conv(self.n_filters,
                         (self.kernel_size, self.kernel_size),
-                        kernel_init=_he_init, name=f"cnv{j}")(x)
+                        kernel_init=_he_init, dtype=self.dtype,
+                        name=f"cnv{j}")(x)
             if self.batchnorm:
                 x = nn.BatchNorm(use_running_average=not training,
-                                 name=f"bn{j}")(x)
+                                 dtype=self.dtype, name=f"bn{j}")(x)
             x = nn.leaky_relu(x)
         if self.maxpool:
             f = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -50,16 +52,22 @@ class ConvBlock(nn.Module):
 class AttentionBlock(nn.Module):
     """Convolutional attention gating (generator.py:99-150)."""
     n_filters: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, up_in, skip_in, training: bool = False):
-        g = nn.Conv(self.n_filters, (1, 1), name="cnv1")(up_in)
-        g = nn.BatchNorm(use_running_average=not training, name="bn1")(g)
-        x = nn.Conv(self.n_filters, (1, 1), name="cnv2")(skip_in)
-        x = nn.BatchNorm(use_running_average=not training, name="bn2")(x)
+        g = nn.Conv(self.n_filters, (1, 1), dtype=self.dtype,
+                    name="cnv1")(up_in)
+        g = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
+                         name="bn1")(g)
+        x = nn.Conv(self.n_filters, (1, 1), dtype=self.dtype,
+                    name="cnv2")(skip_in)
+        x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
+                         name="bn2")(x)
         x = nn.leaky_relu(g + x)
-        x = nn.Conv(1, (1, 1), name="conv3")(x)
-        x = nn.BatchNorm(use_running_average=not training, name="bn3")(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
+        x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
+                         name="bn3")(x)
         x = jax.nn.sigmoid(x)
         return skip_in * x
 
@@ -72,21 +80,23 @@ class DeconvBlock(nn.Module):
     dropout: Optional[float] = None
     batchnorm: bool = True
     attention: bool = True
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, skip, training: bool = False):
         x = nn.ConvTranspose(self.n_filters,
                              (self.kernel_size, self.kernel_size),
                              strides=(2, 2), kernel_init=_he_init,
-                             name="cnv")(x)
+                             dtype=self.dtype, name="cnv")(x)
         if self.attention:
-            skip = AttentionBlock(self.n_filters, name="attention")(
-                x, skip, training)
+            skip = AttentionBlock(self.n_filters, dtype=self.dtype,
+                                  name="attention")(x, skip, training)
         x = jnp.concatenate([x, skip], axis=-1)
         if self.dropout:
             x = nn.Dropout(self.dropout, deterministic=not training)(x)
         x = ConvBlock(self.n_filters, self.kernel_size, maxpool=False,
-                      batchnorm=self.batchnorm, name="convblock")(x, training)
+                      batchnorm=self.batchnorm, dtype=self.dtype,
+                      name="convblock")(x, training)
         return x
 
 
@@ -94,29 +104,35 @@ class PatchNeutralizer(nn.Module):
     """Attention U-Net + 1x1 tanh head (generator.py:17-96).
 
     Output is the defender "update": 2 * output added to the input image
-    neutralizes detected patches (attack_detection.py:190).
+    neutralizes detected patches (attack_detection.py:190). `dtype` is the
+    compute dtype (bf16 under mixed precision); the output is cast to f32.
     """
     n_filters: int = 8
     dropout: float = 0.2
     batchnorm: bool = True
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         skips = []
         for i in range(4):
             skip, x = ConvBlock(self.n_filters * (2 ** i),
                                 batchnorm=self.batchnorm,
-                                dropout=self.dropout,
+                                dropout=self.dropout, dtype=self.dtype,
                                 name=f"conv{i}")(x, training)
             skips.append(skip)
         x = ConvBlock(self.n_filters * (2 ** 4), batchnorm=self.batchnorm,
-                      maxpool=False, name="conv4")(x, training)
+                      maxpool=False, dtype=self.dtype,
+                      name="conv4")(x, training)
         m = 8
         for i, skip in enumerate(reversed(skips)):
             x = DeconvBlock(int(self.n_filters * m),
                             dropout=self.dropout,
-                            batchnorm=self.batchnorm,
+                            batchnorm=self.batchnorm, dtype=self.dtype,
                             name=f"deconv{i}")(x, skip, training)
             m /= 2
-        x = nn.Conv(3, (1, 1), kernel_init=_he_init, name="output")(x)
-        return jnp.tanh(x)
+        x = nn.Conv(3, (1, 1), kernel_init=_he_init, dtype=self.dtype,
+                    name="output")(x)
+        return jnp.tanh(x).astype(jnp.float32)
