@@ -67,3 +67,19 @@ def test_detector_infer_end_to_end(tiny_cfg):
         assert len(b) == 4
     for s in sc:
         assert 0.0 <= s <= 1.0
+
+
+def test_detector_per_class_mode():
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    det = Detector(model_name="efficientdet-lite0", post_mode="per_class",
+                   params={"image_size": 64, "fpn_num_filters": 16,
+                           "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                           "nms_configs": {"score_thresh": 0.0,
+                                           "pre_nms_topk": 64,
+                                           "max_output_size": 16}})
+    frame = (np.random.default_rng(1).uniform(0, 255, (64, 64, 3))
+             .astype(np.uint8))
+    out = det.serve(frame[None])
+    assert out.boxes.shape == (1, 16, 4)
+    # per-class declassified boxes stay inside the (scaled) frame
+    assert float(out.boxes.max()) <= 64 + 1e-3
