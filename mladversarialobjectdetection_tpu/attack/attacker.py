@@ -209,10 +209,12 @@ class PatchAttacker:
                                 k_next)
         return new_state, metrics
 
-    def eval_step(self, state: AttackState, images: jnp.ndarray
-                  ) -> StepMetrics:
-        key, k_eot = jax.random.split(state.key)
-        del key
+    def eval_step(self, state: AttackState, images: jnp.ndarray,
+                  batch_idx: jnp.ndarray | int = 0) -> StepMetrics:
+        """One validation batch. `batch_idx` decorrelates EOT randomness
+        across the val batches of an epoch (the state key is not advanced
+        during eval)."""
+        k_eot = jax.random.fold_in(state.key, batch_idx)
         boxes, clean_scores, clean_valid = self.first_pass(images)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = clean_valid[:, :self.max_boxes]
@@ -238,11 +240,10 @@ class PatchAttacker:
         )
 
     def asr_curve(self, state: AttackState, images: jnp.ndarray,
-                  thresholds) -> jnp.ndarray:
+                  thresholds, batch_idx: jnp.ndarray | int = 0) -> jnp.ndarray:
         """ASR at a vector of score thresholds (attacker.py:66-67,277-283);
         run rarely, host-side plotting consumes the result."""
-        key, k_eot = jax.random.split(state.key)
-        del key
+        k_eot = jax.random.fold_in(state.key, batch_idx)
         boxes, clean_scores, clean_valid = self.first_pass(images)
         patched, _ = eot.apply_patches(
             k_eot, images, boxes[:, :self.max_boxes],

@@ -58,10 +58,15 @@ def train(model_name: str = "efficientdet-lite4", *,
           steps_per_epoch: int | None = None, initial_patch: str | None = None,
           synthetic: bool = False, image_size=None, seed: int = 42,
           visualize_freq: int = 200, config_override=None,
-          patch_size: int = 640, mixed_precision: bool = True):
+          patch_size: int = 640, mixed_precision: bool = True,
+          pre_nms_topk: int = 256, window: int | None = 320):
     config = config_lib.get_efficientdet_config(model_name)
-    # attack-time NMS override (attacker_train.py:31)
-    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
+    # attack-time NMS override (attacker_train.py:31). pre_nms_topk 256 is
+    # the benched operating point (bench.py): with score_thresh .5 there are
+    # never 256 above-threshold person anchors in an image, so the smaller
+    # static candidate set is lossless and meaningfully faster.
+    config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5,
+                               "pre_nms_topk": pre_nms_topk})
     # bf16 activations by default on TPU (patch + predictions stay fp32)
     config.mixed_precision = mixed_precision
     if image_size is not None:
@@ -74,8 +79,11 @@ def train(model_name: str = "efficientdet-lite4", *,
     n_dev = mesh.devices.size
     logger.info(f"mesh over {n_dev} device(s); global batch {batch_size}")
 
+    # window=320 covers the learned-scale patch regime (diag <= 320 <=>
+    # patch side <= 226 px; see ops/eot.py geometry notes) and is the
+    # benched operating point; pass --window 0 for the full default.
     attacker = PatchAttacker(config, det_vars, learning_rate=lr,
-                             patch_size=patch_size)
+                             patch_size=patch_size, window=window or None)
     key = jax.random.PRNGKey(seed)
     if initial_patch:
         patch_np, scale0 = artifacts.load_patch_dir(initial_patch)
@@ -135,8 +143,8 @@ def train(model_name: str = "efficientdet-lite4", *,
 
         # validation
         val_metrics = []
-        for _ in range(val_steps):
-            val_metrics.append(eval_step(state, next(val_iter)))
+        for vi in range(val_steps):
+            val_metrics.append(eval_step(state, next(val_iter), vi))
         val = {k: float(np.mean([float(getattr(m, k)) for m in val_metrics]))
                for k in val_metrics[0]._fields}
         mlog.log(step, val, prefix="val/")
@@ -194,13 +202,19 @@ def main():
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 mixed precision")
+    p.add_argument("--pre-nms-topk", type=int, default=256,
+                   help="static NMS candidate cap (256 is lossless at "
+                        "score_thresh .5 and faster)")
+    p.add_argument("--window", type=int, default=320,
+                   help="static EOT composite window (0 -> model default)")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, save_dir=args.save_dir,
           batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
           steps_per_epoch=args.steps_per_epoch,
           initial_patch=args.initial_patch, synthetic=args.synthetic,
-          image_size=args.image_size, mixed_precision=not args.fp32)
+          image_size=args.image_size, mixed_precision=not args.fp32,
+          pre_nms_topk=args.pre_nms_topk, window=args.window)
 
 
 if __name__ == "__main__":

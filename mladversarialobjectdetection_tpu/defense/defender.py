@@ -115,8 +115,14 @@ class PatchAttackDefender:
             return out, mutated["batch_stats"]
         return self.unet.apply(variables, images, False), batch_stats
 
-    def train_step(self, state: DefenderState, images: jnp.ndarray
+    def train_step(self, state: DefenderState, images: jnp.ndarray,
+                   with_adv_scores: bool = False
                    ) -> Tuple[DefenderState, DefenderMetrics]:
+        """One train step. `with_adv_scores` (static) additionally runs the
+        detector over the masker-patched images at score_thresh 0 so the
+        training-time score-distribution logging has real adv scores
+        (attack_detection.py:208-237 logs these every visualize freq);
+        off by default — it costs a full extra detector pass."""
         k_mask, k_drop, k_next = jax.random.split(state.key, 3)
         boxes, clean_scores, clean_valid = self.odet_boxes(images)
         boxes = boxes[:, :self.max_boxes]
@@ -140,16 +146,23 @@ class PatchAttackDefender:
         params = optax.apply_updates(state.params, updates)
 
         mean_clean = _masked_mean(clean_scores, clean_valid)
-        metrics = DefenderMetrics(loss, mean_clean, jnp.asarray(0.0))
+        if with_adv_scores:
+            _, adv_scores, adv_valid = self.odet_boxes(patched,
+                                                       score_thresh=0.0)
+            mean_adv = _masked_mean(adv_scores, adv_valid)
+        else:
+            mean_adv = jnp.asarray(0.0)
+        metrics = DefenderMetrics(loss, mean_clean, mean_adv)
         return DefenderState(params, new_stats, opt_state, state.step + 1,
                              k_next), metrics
 
-    def eval_step(self, state: DefenderState, images: jnp.ndarray
-                  ) -> DefenderMetrics:
+    def eval_step(self, state: DefenderState, images: jnp.ndarray,
+                  batch_idx: jnp.ndarray | int = 0) -> DefenderMetrics:
         """Eval: plant the real adversarial patch, measure recovery loss
-        (attack_detection.py:168-206, training=False branch)."""
+        (attack_detection.py:168-206, training=False branch). `batch_idx`
+        decorrelates masker randomness across an epoch's val batches."""
         assert self.eval_patch is not None
-        k_mask, _ = jax.random.split(state.key)
+        k_mask = jax.random.fold_in(state.key, batch_idx)
         boxes, clean_scores, valid = self.odet_boxes(images)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = valid[:, :self.max_boxes]

@@ -62,7 +62,8 @@ def train(model_name: str = "efficientdet-lite4", *,
     state = replicate(mesh, state)
     defender.det_variables = replicate(mesh, det_vars)
 
-    train_step = jax.jit(defender.train_step, donate_argnums=0)
+    train_step = jax.jit(defender.train_step, donate_argnums=0,
+                         static_argnames=("with_adv_scores",))
     eval_step = jax.jit(defender.eval_step)
 
     if synthetic or img_dir is None:
@@ -99,14 +100,19 @@ def train(model_name: str = "efficientdet-lite4", *,
             batch = next(train_iter)
             aug_key, k = jax.random.split(aug_key)
             batch = pipeline.augment_batch(k, batch)
-            state, metrics = train_step(state, batch)
+            # real adv scores on logged steps only (extra detector pass),
+            # matching the reference's visualize-freq score logging
+            logged = (step + 1) % 50 == 0
+            state, metrics = train_step(state, batch,
+                                        with_adv_scores=logged)
             thr.count(batch_size)
             step += 1
-            if step % 50 == 0:
+            if logged:
                 mlog.log(step, metrics._asdict(), prefix="train/")
         ips = thr.rate()
 
-        vals = [eval_step(state, next(val_iter)) for _ in range(val_steps)]
+        vals = [eval_step(state, next(val_iter), vi)
+                for vi in range(val_steps)]
         val_loss = float(np.mean([float(v.loss) for v in vals]))
         mlog.log(step, {"loss": val_loss, "images_per_sec": ips,
                         "epoch": epoch}, prefix="val/")

@@ -34,8 +34,8 @@ Geometry parity (attacker.py:448-488 `Patcher.create`):
   - square side s = floor(max(box_h, box_w) * scale)
   - rotation-safe region side diag = min(sqrt(2)*s, image_width) — here
     additionally clamped to the static window size W (default
-    min(image, 512)); only patches covering >0.56 of a full-image box
-    are affected.
+    `default_window` = min(image, 384)); only patches covering >0.42 of
+    a full-height box on a 640 image are affected.
   - center jittered uniformly +-tolerance * box_{h,w}/2 around the box
     center; region clamped fully inside the image
   - slots with s^2 <= min_patch_area are culled
@@ -44,8 +44,9 @@ Randomness parity: print jitter w~N(.5,.1) b~N(0,.01) (attacker.py:365-372),
 sensor noise U(-.01,.01) (attacker.py:427; the Masker uses +-.1,
 attack_detection.py:414), brightness delta U(-.3,.3) (attacker.py:428),
 rotation U(-20deg,20deg) (attacker.py:436). Noise is drawn i.i.d. per
-output pixel instead of per pre-rotation patch pixel — statistically
-equivalent for EOT purposes.
+output pixel, fresh per patch slot (the key folds the slot index),
+instead of per pre-rotation patch pixel — statistically equivalent for
+EOT purposes.
 """
 from __future__ import annotations
 
@@ -320,8 +321,6 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
     wsz = window
 
     k_noise, k_bright = jax.random.split(key)
-    noise = jax.random.uniform(k_noise, (wsz, wsz, 3), minval=-noise_mag,
-                               maxval=noise_mag)
     bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
                                 maxval=brightness_mag)
 
@@ -333,8 +332,13 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
     # OUTPUTS (t/sample) so the forward itself is not recomputed
     @functools.partial(jax.checkpoint,
                        policy=jax.checkpoint_policies.dots_saveable)
-    def patched_window(win, canvas_, geom_scalars, oy, ox, bright_i, ok):
+    def patched_window(win, canvas_, geom_scalars, oy, ox, bright_i, ok,
+                       k_noise_i):
         sample, inside, region = warp(canvas_, oy, ox, geom_scalars, wsz)
+        # fresh sensor noise per slot (attacker.py:427 draws per patch);
+        # regenerated in the bwd pass under the remat policy, never stored
+        noise = jax.random.uniform(k_noise_i, (wsz, wsz, 3),
+                                   minval=-noise_mag, maxval=noise_mag)
         val = jnp.clip(sample + noise + bright_i, -1.0, 1.0)
         use = (inside & ok)[..., None]
         return jnp.where(use, val, win), region
@@ -354,7 +358,7 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
         new_win, region = patched_window(
             win, canvas,
             (ymin, xmin, geom.size[i], geom.diag[i], geom.angle[i]),
-            oy, ox, bright[i], ok)
+            oy, ox, bright[i], ok, jax.random.fold_in(k_noise, i))
         out = jax.lax.dynamic_update_slice(out, new_win, (oyi, oxi, 0))
 
         reg_win = jax.lax.dynamic_slice(region_any, (oyi, oxi), (wsz, wsz))
@@ -383,13 +387,15 @@ def _composite_gather(image: jnp.ndarray, patch_canvas: jnp.ndarray,
     xx = jnp.arange(w_img, dtype=jnp.float32)[None, :]
 
     k_noise, k_bright = jax.random.split(key)
-    noise = jax.random.uniform(k_noise, image.shape, minval=-noise_mag,
-                               maxval=noise_mag)
     bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
                                 maxval=brightness_mag)
 
     def body(i, state):
         out, region_any = state
+        # fresh noise per slot (attacker.py:427)
+        noise = jax.random.uniform(jax.random.fold_in(k_noise, i),
+                                   image.shape, minval=-noise_mag,
+                                   maxval=noise_mag)
         ymin, xmin = geom.ymin[i], geom.xmin[i]
         size, diag, angle = geom.size[i], geom.diag[i], geom.angle[i]
         ok = geom.valid[i]
@@ -480,7 +486,7 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         (Masker training mode, attack_detection.py:487-492).
       backend: 'matmul' (two-pass MXU warp) or 'gather'.
       window: static window side for the matmul backend
-        (default min(image, 512)).
+        (default `default_window` = min(image, 384)).
       canvas_res: pre-downsampled patch-canvas resolution for the matmul
         backend.
 

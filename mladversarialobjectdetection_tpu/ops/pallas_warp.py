@@ -174,6 +174,16 @@ def _scalars_arr(alpha, beta, gamma, radius):
     return jnp.stack([alpha, beta, gamma, radius]).astype(jnp.float32)
 
 
+def _check_tiles(w: int, **tiles) -> None:
+    """Grids use floor division; a ragged tail tile would silently be left
+    unwritten (garbage output). Fail loudly instead."""
+    for name, t in tiles.items():
+        if w % t != 0:
+            raise ValueError(
+                f"pallas warp window {w} is not divisible by {name}={t}; "
+                f"choose a window that is a multiple of the tile sizes")
+
+
 def _call(kernel, scalars, src, out_shape, grid, src_spec, out_spec):
     if pltpu is None:
         raise RuntimeError("pallas tpu backend unavailable")
@@ -194,6 +204,7 @@ def pass1_fwd(canvas: jnp.ndarray, alpha, beta, gamma, radius,
               w: int, *, x_tile: int = 32) -> jnp.ndarray:
     """canvas [P0, P0, 3] -> t [P0, w, 3]."""
     x_tile = min(x_tile, w)
+    _check_tiles(w, x_tile=x_tile)
     p0 = canvas.shape[0]
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
@@ -209,6 +220,7 @@ def pass1_bwd(g: jnp.ndarray, alpha, beta, gamma, radius,
     """g [P0, w, 3] -> dcanvas [P0, P0, 3] (accumulated over x-tiles)."""
     w = g.shape[1]
     x_tile = min(x_tile, w)
+    _check_tiles(w, x_tile=x_tile)
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
         _pass1_bwd_kernel, scalars, g,
@@ -223,6 +235,7 @@ def pass2_fwd(t: jnp.ndarray, alpha, beta, gamma, radius, w: int, *,
     """t [P0, w, 3] -> out [w, w, 3]."""
     y_tile = min(y_tile, w)
     x_tile = min(x_tile, w)
+    _check_tiles(w, x_tile=x_tile, y_tile=y_tile)
     p0 = t.shape[0]
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
@@ -239,6 +252,7 @@ def pass2_bwd(g: jnp.ndarray, alpha, beta, gamma, radius,
     w = g.shape[0]
     x_tile = min(x_tile, w)
     y_tile = min(y_tile, w)
+    _check_tiles(w, x_tile=x_tile, y_tile=y_tile)
     scalars = _scalars_arr(alpha, beta, gamma, radius)
     return _call(
         _pass2_bwd_kernel, scalars, g,

@@ -142,8 +142,13 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
 
-    h, w = parse_image_size(params["image_size"])
-    offset = float(2 * max(h, w))
+    # class bands must not overlap even for pathological unclipped decoded
+    # boxes, so the shift is derived from the actual candidate extent
+    # (ADVICE r1: a fixed 2*max(h,w) offset can be exceeded by exp-decoded
+    # boxes). NMS itself sees raw (unclipped) boxes like the reference's
+    # per_class_nms (postprocess.py:409-462); clipping happens after.
+    offset = (jnp.max(top_boxes) - jnp.min(top_boxes) + 1.0).astype(
+        top_boxes.dtype)
     shifted = top_boxes + (top_classes[..., None].astype(top_boxes.dtype)
                            * offset)
     kw = nms_kwargs_from_config(nms_cfg)

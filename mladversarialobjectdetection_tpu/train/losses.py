@@ -96,10 +96,11 @@ def class_weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,
 
 def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
     """Weight decay over conv/dense kernels only (train_lib.py:617-623
-    filters BN/bias by name)."""
+    filters BN/bias by name). tf.nn.l2_loss is sum(w**2)/2 — the /2 is
+    kept for exact parity with the reference's effective decay."""
     total = 0.0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name in ("kernel",):
-            total = total + jnp.sum(leaf.astype(jnp.float32) ** 2)
+            total = total + 0.5 * jnp.sum(leaf.astype(jnp.float32) ** 2)
     return weight_decay * total
