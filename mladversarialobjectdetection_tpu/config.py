@@ -248,6 +248,11 @@ def default_detection_configs() -> Config:
         # suppression loop (replaces the reference's all-anchor dynamic input).
         "pre_nms_topk": 1024,
     }
+    h.tflite_max_detections = 100  # reference hparams_config.py:267
+    # training-time augmentation policy: None | 'v0'..'v3' | 'test' |
+    # 'randaug' (reference hparams_config.py:186-187, dataloader.py:311-319)
+    h.autoaugment_policy = None
+    h.grid_mask = False
 
     # FPN
     h.fpn_name = None

@@ -164,7 +164,8 @@ class DetectionTFRecordReader:
 
     def __init__(self, file_pattern: str, *, image_size, mean_rgb, stddev_rgb,
                  max_instances: int = 100, skip_crowd: bool = True,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 autoaugment_policy: str | None = None):
         import glob
 
         from ..utils.image import parse_image_size
@@ -178,6 +179,8 @@ class DetectionTFRecordReader:
         self.skip_crowd = skip_crowd
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        # 'v0'..'v3'/'test' policy or 'randaug' (dataloader.py:312-319)
+        self.autoaugment_policy = autoaugment_policy
 
     def _examples(self) -> Iterator[dict]:
         files = list(self.files)
@@ -201,10 +204,22 @@ class DetectionTFRecordReader:
                     keep = ex["is_crowd"] == 0
                     boxes, classes = boxes[keep], classes[keep]
                 h, w = ex["image"].shape[:2]
-                img, _ = preprocess_host(ex["image"], self.image_size,
+                raw = ex["image"]
+                raw_px_boxes = boxes * np.asarray([h, w, h, w], np.float32)
+                if self.autoaugment_policy:
+                    from . import autoaugment as aa
+                    if self.autoaugment_policy == "randaug":
+                        raw, raw_px_boxes = aa.distort_image_with_randaugment(
+                            self.rng, raw, raw_px_boxes,
+                            num_layers=1, magnitude=15)
+                    else:
+                        raw, raw_px_boxes = aa.distort_image_with_autoaugment(
+                            self.rng, raw, raw_px_boxes,
+                            self.autoaugment_policy)
+                img, _ = preprocess_host(raw, self.image_size,
                                          self.mean_rgb, self.stddev_rgb)
                 scale = min(self.image_size[0] / h, self.image_size[1] / w)
-                px_boxes = boxes * np.asarray([h, w, h, w], np.float32) * scale
+                px_boxes = raw_px_boxes * scale
 
                 n = min(len(px_boxes), g)
                 pb = np.zeros((g, 4), np.float32)

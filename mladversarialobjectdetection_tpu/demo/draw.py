@@ -34,6 +34,8 @@ def draw_boxes(frame: np.ndarray, boxes: Sequence, scores: Sequence,
     """Draw person boxes with score labels (util.py:104-128)."""
     import cv2
     frame = np.ascontiguousarray(frame)
+    if not frame.flags.writeable:  # e.g. np.frombuffer-backed decode
+        frame = frame.copy()
     for box, score in zip(boxes, scores):
         ymin, xmin, ymax, xmax = [int(v) for v in box]
         color = _score_color(float(score))
@@ -52,6 +54,8 @@ def put_text(frame: np.ndarray, text: str, org: Tuple[int, int], *,
     """Text with a dark shadow for legibility (util.py:131-160)."""
     import cv2
     frame = np.ascontiguousarray(frame)
+    if not frame.flags.writeable:  # e.g. np.frombuffer-backed decode
+        frame = frame.copy()
     cv2.putText(frame, text, (org[0] + 2, org[1] + 2),
                 cv2.FONT_HERSHEY_SIMPLEX, scale, (0, 0, 0), 3)
     cv2.putText(frame, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale, color, 2)

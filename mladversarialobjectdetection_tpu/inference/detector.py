@@ -40,8 +40,10 @@ class Detector:
             detector.py:90-92 usage).
           ckpt_path: native checkpoint (ckpt/io.py) for the detector
             variables; random init if None.
-          post_mode: 'global' | 'per_class' | 'combined'
+          post_mode: 'global' | 'per_class' | 'combined' | 'tflite'
             (EfficientDetModel post_mode parity, efficientdet_keras.py:944-963).
+            'tflite' returns the TFLite custom-op output contract —
+            normalized [0,1] boxes, 0-based classes, no scale-back.
         """
         self.post_mode = post_mode
         self.config = config_lib.get_efficientdet_config(model_name)
@@ -62,10 +64,44 @@ class Detector:
     def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
                     ) -> postprocess.Detections:
         cls_out, box_out = self.net.apply(self.variables, images, False)
+        if self.post_mode == "tflite":
+            # TFLite contract: normalized boxes, no scale-back
+            # (reference postprocess.py:358-361 rejects scales here too)
+            return postprocess.postprocess_tflite(self._params_dict,
+                                                  cls_out, box_out)
         post = {"global": postprocess.postprocess_global,
                 "per_class": postprocess.postprocess_per_class,
                 "combined": postprocess.postprocess_combined}[self.post_mode]
         return post(self._params_dict, cls_out, box_out, image_scales=scales)
+
+    def export(self, out_path: str, fmt: str = "stablehlo",
+               batch_size: int = 1) -> None:
+        """Export the serve program (forward + postprocess, fixed shapes).
+
+        fmt: 'stablehlo' (jax.export AOT artifact) | 'saved_model' (jax2tf)
+        | 'tflite' (SavedModel -> TFLite FP32). The artifacts are re-served
+        by inference.drivers.{StableHlo,SavedModel,Tflite}Driver — the
+        reference's export -> SavedModelDriver/TfliteDriver story
+        (infer_lib.py:270-380, 455-564)."""
+        from . import export as export_lib
+
+        def fn(images, scales):
+            return tuple(self._serve_impl(images, scales))
+
+        example = (np.zeros((batch_size, *self.spec.image_size, 3),
+                            np.float32),
+                   np.ones((batch_size,), np.float32))
+        if fmt == "stablehlo":
+            export_lib.export_stablehlo(fn, example, out_path)
+        elif fmt == "saved_model":
+            export_lib.export_saved_model(fn, example, out_path)
+        elif fmt == "tflite":
+            import tempfile
+            with tempfile.TemporaryDirectory() as tmp:
+                export_lib.export_saved_model(fn, example, tmp)
+                export_lib.export_tflite(tmp, out_path)
+        else:
+            raise ValueError(f"unknown export format {fmt}")
 
     def serve(self, raw_frames: np.ndarray) -> postprocess.Detections:
         """Batch of raw RGB frames -> padded Detections in original coords."""

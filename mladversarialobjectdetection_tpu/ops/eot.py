@@ -142,16 +142,7 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
 # canvas pre-downsampling (separable matmul resize with triangle filter)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=16)
-def _resize_matrix_np(n_out: int, n_in: int) -> np.ndarray:
-    """[n_out, n_in] antialiased linear-resize matrix (half-pixel centers)."""
-    ratio = n_in / n_out
-    radius = max(ratio, 1.0)
-    out_centers = (np.arange(n_out) + 0.5) * ratio - 0.5
-    dist = np.abs(out_centers[:, None] - np.arange(n_in)[None, :])
-    w = np.maximum(0.0, 1.0 - dist / radius)
-    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
-    return w.astype(np.float32)
+from .preprocess import linear_resize_matrix as _resize_matrix_np
 
 
 def downsample_canvas(patch: jnp.ndarray, p0: int) -> jnp.ndarray:

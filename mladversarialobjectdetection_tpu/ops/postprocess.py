@@ -166,12 +166,157 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
                       res.valid, res.valid_len)
 
 
+def pre_nms_multiclass(params, cls_outputs, box_outputs
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode all anchors keeping the FULL per-class score matrix.
+
+    Parity with reference pre_nms(topk=False) (postprocess.py:119-160 as
+    called by postprocess_combined at 227): boxes [B, A, 4] decoded,
+    scores [B, A, C] sigmoid (no candidate reduction)."""
+    anchors = Anchors(params["min_level"], params["max_level"],
+                      params["num_scales"], tuple(params["aspect_ratios"]),
+                      params["anchor_scale"], params["image_size"])
+    cls_merged, box_merged = merge_class_box_level_outputs(
+        params, cls_outputs, box_outputs)
+    anchor_boxes = jnp.asarray(anchors.boxes)
+    boxes = decode_box_outputs(box_merged, anchor_boxes[None])
+    scores = jax.nn.sigmoid(cls_merged)
+    return boxes, scores
+
+
 def postprocess_combined(params, cls_outputs, box_outputs,
                          image_scales=None) -> Detections:
-    """Combined-NMS-style postprocessing (reference postprocess.py:208-245).
+    """Combined-NMS postprocessing (reference postprocess.py:208-245).
 
-    The reference's tf.image.combined_non_max_suppression is per-class NMS
-    with shared boxes across classes; with the max_reduce candidate
-    selection the per-class path above is the fixed-shape equivalent."""
-    return postprocess_per_class(params, cls_outputs, box_outputs,
-                                 image_scales)
+    tf.image.combined_non_max_suppression with q=1 runs HARD per-class NMS
+    (iou 0.5) over boxes SHARED across classes — one anchor can be emitted
+    once per class — then merges all classes' survivors by score. The
+    TPU-native fixed-shape equivalent: flatten the [B, A, C] score matrix,
+    top-k over (anchor, class) pairs (so multi-class-per-box candidates
+    survive, unlike max_reduce), then one class-shifted NMS pass whose
+    greedy global-score order reproduces the merge+sort. The config's
+    method/sigma/iou are deliberately ignored, matching the reference's
+    call (score_threshold only, iou fixed at the combined-NMS default .5).
+    """
+    boxes, scores = pre_nms_multiclass(params, list(cls_outputs),
+                                       list(box_outputs))
+    b, a, c = scores.shape
+    nms_cfg = params["nms_configs"]
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    topk = min(int(get("pre_nms_topk") or 1024), a * c)
+    max_out = int(get("max_output_size") or 100)
+    score_thresh = get("score_thresh") or None  # None -> hard default -inf
+
+    flat = scores.reshape(b, a * c)
+    top_scores, top_flat_idx = jax.lax.top_k(flat, topk)      # [B, K]
+    top_anchor = top_flat_idx // c
+    top_classes = (top_flat_idx % c).astype(jnp.int32)
+    top_boxes = jnp.take_along_axis(boxes, top_anchor[..., None], axis=1)
+
+    offset = (jnp.max(top_boxes) - jnp.min(top_boxes) + 1.0).astype(
+        top_boxes.dtype)
+    shifted = top_boxes + (top_classes[..., None].astype(top_boxes.dtype)
+                           * offset)
+    res = nms_ops.batched_nms(shifted, top_scores, method="hard",
+                              iou_thresh=0.5, score_thresh=score_thresh,
+                              max_output_size=max_out)
+    sel_classes = jnp.take_along_axis(top_classes, res.indices, axis=1)
+    out_boxes = res.boxes - (sel_classes[..., None].astype(res.boxes.dtype)
+                             * offset) * res.valid[..., None]
+    out_boxes = clip_boxes(out_boxes * res.valid[..., None],
+                           params["image_size"])
+    out_classes = (sel_classes + CLASS_OFFSET) * res.valid
+    if image_scales is not None:
+        scales = jnp.asarray(image_scales).reshape(-1, 1, 1)
+        out_boxes = out_boxes * scales.astype(out_boxes.dtype)
+    return Detections(out_boxes, res.scores, out_classes.astype(jnp.float32),
+                      res.valid, res.valid_len)
+
+
+# ---------------------------------------------------------------------------
+# TFLite post mode (reference postprocess.py:248-373)
+# ---------------------------------------------------------------------------
+
+def decode_anchors_to_centersize(anchor_boxes: jnp.ndarray) -> jnp.ndarray:
+    """Corner anchors -> {y_center, x_center, h, w} (reference
+    tf2/anchors.py:61-80, used by TFLite's custom NMS op)."""
+    ycenter = (anchor_boxes[..., 0] + anchor_boxes[..., 2]) / 2
+    xcenter = (anchor_boxes[..., 1] + anchor_boxes[..., 3]) / 2
+    h = anchor_boxes[..., 2] - anchor_boxes[..., 0]
+    w = anchor_boxes[..., 3] - anchor_boxes[..., 1]
+    return jnp.stack([ycenter, xcenter, h, w], axis=-1)
+
+
+def tflite_pre_nms(params, cls_outputs, box_outputs):
+    """The TFLite custom-NMS op's input layout (postprocess.py:291-331):
+
+    Returns (box_outputs [B, A, 4] raw regression encodings,
+    scores [B, A, C] sigmoid, anchors [A, 4] normalized center-size).
+    """
+    anchors = Anchors(params["min_level"], params["max_level"],
+                      params["num_scales"], tuple(params["aspect_ratios"]),
+                      params["anchor_scale"], params["image_size"])
+    cls_merged, box_merged = merge_class_box_level_outputs(
+        params, cls_outputs, box_outputs)
+    h, w = parse_image_size(params["image_size"])
+    norm = jnp.asarray([h, w, h, w], jnp.float32)
+    normalized_anchors = jnp.asarray(anchors.boxes) / norm
+    decoded_anchors = decode_anchors_to_centersize(normalized_anchors)
+    scores = jax.nn.sigmoid(cls_merged)
+    return box_merged, scores, decoded_anchors
+
+
+def postprocess_tflite(params, cls_outputs, box_outputs) -> Detections:
+    """Runnable equivalent of TFLite's custom detection-postprocess op.
+
+    The reference's postprocess_tflite (postprocess.py:333-373) emits a
+    dummy `tf.function` that the MLIR converter legalizes into
+    TFLite_Detection_PostProcess with use_regular_nms=false and
+    max_classes_per_detection=1 (the attrs in
+    tflite_nms_implements_signature, postprocess.py:248-288). That op's
+    fast path is: per anchor, take the max class; hard-NMS with the
+    config's iou/score thresholds; decode survivors against center-size
+    anchors with unit scale factors. This function executes those same
+    semantics on TPU so the tflite output layout is servable here too.
+
+    Returns Detections with boxes in NORMALIZED [0, 1] corner coordinates
+    and 0-based classes — the TFLite op's output contract (no CLASS_OFFSET,
+    no pixel scale-back), sized `tflite_max_detections`.
+    """
+    box_enc, scores, decoded_anchors = tflite_pre_nms(
+        params, list(cls_outputs), list(box_outputs))
+    nms_cfg = params["nms_configs"]
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    iou_thresh = get("iou_thresh") or 0.5
+    score_thresh = get("score_thresh") or None
+    max_det = int(params.get("tflite_max_detections") or 100)
+
+    # fast-NMS path: per-anchor max class (detection_postprocess.cc)
+    cls_ids = jnp.argmax(scores, axis=-1).astype(jnp.int32)   # [B, A]
+    max_scores = jnp.max(scores, axis=-1)                     # [B, A]
+
+    # decode box encodings against center-size anchors (scale factors 1.0)
+    ya, xa, ha, wa = (decoded_anchors[..., 0], decoded_anchors[..., 1],
+                      decoded_anchors[..., 2], decoded_anchors[..., 3])
+    ty, tx, th, tw = (box_enc[..., 0], box_enc[..., 1],
+                      box_enc[..., 2], box_enc[..., 3])
+    ycenter = ty * ha + ya
+    xcenter = tx * wa + xa
+    hh = jnp.exp(th) * ha
+    ww = jnp.exp(tw) * wa
+    dec_boxes = jnp.stack([ycenter - hh / 2, xcenter - ww / 2,
+                           ycenter + hh / 2, xcenter + ww / 2], axis=-1)
+
+    topk = min(int(get("pre_nms_topk") or 1024), max_scores.shape[1])
+    top_scores, top_idx = jax.lax.top_k(max_scores, topk)
+    top_boxes = jnp.take_along_axis(dec_boxes, top_idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(cls_ids, top_idx, axis=1)
+
+    res = nms_ops.batched_nms(top_boxes, top_scores, method="hard",
+                              iou_thresh=iou_thresh,
+                              score_thresh=score_thresh,
+                              max_output_size=max_det)
+    out_classes = (jnp.take_along_axis(top_classes, res.indices, axis=1)
+                   * res.valid)
+    return Detections(res.boxes, res.scores, out_classes.astype(jnp.float32),
+                      res.valid, res.valid_len)

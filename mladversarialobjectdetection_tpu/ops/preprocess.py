@@ -22,10 +22,44 @@ import jax.numpy as jnp
 
 from ..utils.image import parse_image_size
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def linear_resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] antialiased linear-resize matrix (half-pixel centers).
+
+    Matches tf.image.resize(method=BILINEAR, antialias=True) — the resize
+    the reference serving path uses (dataloader.py:130-136
+    `resize_and_crop_image`): a triangle filter whose support widens with
+    the downscale ratio, weights normalized per output pixel."""
+    ratio = n_in / n_out
+    radius = max(ratio, 1.0)
+    out_centers = (np.arange(n_out) + 0.5) * ratio - 0.5
+    dist = np.abs(out_centers[:, None] - np.arange(n_in)[None, :])
+    w = np.maximum(0.0, 1.0 - dist / radius)
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+    return w.astype(np.float32)
+
+
+def resize_linear_np(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Separable antialiased linear resize of an [H, W, C] float image
+    (two BLAS matmuls; exact tf.image.resize(antialias=True) parity)."""
+    h, w, c = image.shape
+    ry = linear_resize_matrix(out_h, h)        # [out_h, h]
+    rx = linear_resize_matrix(out_w, w)        # [out_w, w]
+    t = np.einsum("oh,hwc->owc", ry, image.astype(np.float32), optimize=True)
+    return np.einsum("ow,hwc->hoc", rx, t, optimize=True)
+
 
 def preprocess_host(image: np.ndarray, output_size, mean_rgb, stddev_rgb
                     ) -> Tuple[np.ndarray, float]:
     """Normalize, resize (aspect preserving) and zero-pad one raw frame.
+
+    Exact serving-path parity with the reference's map_fn
+    (infer_lib.py:219-235 -> dataloader.py:115-145): normalize first, then
+    antialiased bilinear resize to (floor(h*scale), floor(w*scale)), then
+    zero-pad bottom/right.
 
     Args:
       image: [H, W, 3] uint8/float RGB.
@@ -34,8 +68,6 @@ def preprocess_host(image: np.ndarray, output_size, mean_rgb, stddev_rgb
 
     Returns: (padded [h, w, 3] float32 in normalized space, scale_to_original).
     """
-    import cv2
-
     output_size = parse_image_size(output_size)
     h, w = image.shape[:2]
     image = image.astype(np.float32)
@@ -44,7 +76,7 @@ def preprocess_host(image: np.ndarray, output_size, mean_rgb, stddev_rgb
 
     scale = min(output_size[1] / w, output_size[0] / h)
     scaled_h, scaled_w = int(h * scale), int(w * scale)
-    scaled = cv2.resize(image, (scaled_w, scaled_h), interpolation=cv2.INTER_LINEAR)
+    scaled = resize_linear_np(image, scaled_h, scaled_w)
     out = np.zeros((*output_size, 3), np.float32)
     out[:scaled_h, :scaled_w, :] = scaled
     return out, 1.0 / scale

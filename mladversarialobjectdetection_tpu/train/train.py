@@ -62,12 +62,16 @@ def train(model_name: str = "efficientdet-d0", *,
           model_dir: str = "detector_out", batch_size: int = 8,
           num_epochs: int | None = None, steps_per_epoch: int = 1000,
           eval_batches: int = 50, map_freq: int = 5, image_size=None,
-          seed: int = 0, resume: bool = False):
+          seed: int = 0, resume: bool = False, config_override=None):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
     if num_epochs is not None:
         config.num_epochs = num_epochs
+    if config_override:
+        # --hparams equivalent (reference tf2/train.py flag): dict or
+        # 'key=value,key=value' string / yaml path via Config.update
+        config.update(config_override)
 
     mesh = make_mesh_for_batch(batch_size)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
@@ -87,7 +91,8 @@ def train(model_name: str = "efficientdet-d0", *,
         reader = DetectionTFRecordReader(
             train_pattern, image_size=config.image_size,
             mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
-            max_instances=config.max_instances_per_image, seed=seed)
+            max_instances=config.max_instances_per_image, seed=seed,
+            autoaugment_policy=config.get("autoaugment_policy"))
         batches = reader.batches(batch_size)
     else:
         logger.warning("no --train-pattern: using synthetic batches")
@@ -155,11 +160,15 @@ def main():
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from model_dir/state-latest.msgpack")
+    p.add_argument("--hparams", default=None,
+                   help="config override: 'k=v,k=v' string or yaml path "
+                        "(reference tf2/train.py --hparams)")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
           num_epochs=a.num_epochs, steps_per_epoch=a.steps_per_epoch,
-          image_size=a.image_size, resume=a.resume)
+          image_size=a.image_size, resume=a.resume,
+          config_override=a.hparams)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,11 @@ class DetectorTrainer:
         variables = self.net.init({"params": key}, x, True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        return TrainState(params, batch_stats, params,
+        # distinct buffers for the EMA copy: aliasing `params` here makes
+        # the donated train-step state contain the same buffer twice, which
+        # XLA rejects ("attempt to donate the same buffer twice")
+        ema = jax.tree.map(jnp.copy, params)
+        return TrainState(params, batch_stats, ema,
                           self.tx.init(params), jnp.asarray(0, jnp.int32))
 
     def _labels(self, gt_boxes, gt_classes, gt_valid):

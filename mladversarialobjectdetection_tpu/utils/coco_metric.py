@@ -1,16 +1,21 @@
-"""COCO-style mean-average-precision evaluation, dependency-free.
+"""COCO-style detection evaluation, dependency-free, full 12-metric suite.
 
-Behavioral parity with reference coco_metric.py (EvaluationMetric, 50-280):
-AP@[.5:.95:.05] / AP50 / AP75 over padded detection outputs, implemented in
-numpy without pycocotools (unavailable in this environment). Standard COCO
-101-point interpolation; greedy per-image matching in score order against
-highest-IoU unmatched ground truth.
+Behavioral parity with reference coco_metric.py (EvaluationMetric, 50-280),
+which defers to pycocotools COCOeval and reports the standard 12 metrics
+(coco_metric.py:186-201): AP / AP50 / AP75 / APsmall / APmedium / APlarge /
+AR@1 / AR@10 / AR@100 / ARsmall / ARmedium / ARlarge — plus optional
+per-class AP (label_map branch, coco_metric.py:203-214).
 
-Host-side: evaluation consumes fetched detections, never device time.
+Implemented in numpy following pycocotools COCOeval semantics exactly:
+greedy per-(image, class) matching in global score order at each IoU
+threshold in .5:.95:.05, area-range gt/det ignoring, maxDets capping,
+101-point precision interpolation, and the -1 convention for absent
+categories. Host-side: evaluation consumes fetched detections, never
+device time.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -18,91 +23,198 @@ from ..ops.nms_np import iou_np
 
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES: Dict[str, Tuple[float, float]] = {
+    "all": (0.0, float("inf")),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float("inf")),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def _box_areas(boxes: np.ndarray) -> np.ndarray:
+    return (np.maximum(0.0, boxes[:, 2] - boxes[:, 0])
+            * np.maximum(0.0, boxes[:, 3] - boxes[:, 1]))
 
 
 class COCOEvaluator:
-    """Accumulate per-image detections + ground truths, compute mAP."""
+    """Accumulate per-image detections + ground truths, compute the full
+    COCO metric suite."""
 
-    def __init__(self, iou_thresholds: Sequence[float] = IOU_THRESHOLDS):
-        self.iou_thresholds = np.asarray(iou_thresholds)
-        self._dets: List[dict] = []
-        self._n_gt: Dict[int, int] = {}
-        self._image_id = 0
+    def __init__(self, iou_thresholds: Sequence[float] = IOU_THRESHOLDS,
+                 max_dets: Sequence[int] = MAX_DETS):
+        self.iou_thresholds = np.asarray(iou_thresholds, np.float64)
+        self.max_dets = tuple(max_dets)
+        self._images: List[dict] = []
 
     def add_image(self, det_boxes, det_scores, det_classes,
                   gt_boxes, gt_classes) -> None:
-        """Add one image. Boxes are [N, 4] (ymin, xmin, ymax, xmax); classes
-        are int ids (any consistent labeling)."""
-        det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
-        det_scores = np.asarray(det_scores, np.float64).reshape(-1)
-        det_classes = np.asarray(det_classes).reshape(-1).astype(int)
-        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
-        gt_classes = np.asarray(gt_classes).reshape(-1).astype(int)
+        """Add one image. Boxes are [N, 4] (ymin, xmin, ymax, xmax) in
+        pixels; classes are int ids (any consistent labeling)."""
+        self._images.append(dict(
+            det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
+            det_scores=np.asarray(det_scores, np.float64).reshape(-1),
+            det_classes=np.asarray(det_classes).reshape(-1).astype(int),
+            gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            gt_classes=np.asarray(gt_classes).reshape(-1).astype(int)))
 
-        img = self._image_id
-        self._image_id += 1
-        for c in gt_classes:
-            self._n_gt[c] = self._n_gt.get(c, 0) + 1
-
-        for c in np.unique(np.concatenate([det_classes, gt_classes])
-                           if len(det_classes) + len(gt_classes) else []):
-            d_idx = np.where(det_classes == c)[0]
-            g_idx = np.where(gt_classes == c)[0]
-            order = d_idx[np.argsort(-det_scores[d_idx])]
-            matched = {float(t): set() for t in self.iou_thresholds}
-            for di in order:
-                ious = (iou_np(det_boxes[di], gt_boxes[g_idx])
-                        if len(g_idx) else np.zeros(0))
-                rec = {"score": det_scores[di], "class": int(c), "tp": {}}
-                for t in self.iou_thresholds:
-                    t = float(t)
-                    best, best_iou = -1, t
-                    for k, gi in enumerate(g_idx):
-                        if gi in matched[t]:
-                            continue
-                        if ious[k] >= best_iou:
-                            best, best_iou = gi, ious[k]
-                    if best >= 0:
-                        matched[t].add(best)
-                        rec["tp"][t] = True
-                    else:
-                        rec["tp"][t] = False
-                self._dets.append(rec)
-
-    def _ap_for(self, cls: int, thresh: float) -> float | None:
-        n_gt = self._n_gt.get(cls, 0)
-        if n_gt == 0:
+    # -- per-(image, class, area, maxdet) matching (COCOeval.evaluateImg) --
+    def _evaluate_img(self, img: dict, cls: int, area: Tuple[float, float],
+                      max_det: int):
+        """Returns (det_scores, det_matched[T, D], det_ignored[T, D],
+        n_nonignored_gt) or None if the image has nothing of this class."""
+        d_sel = img["det_classes"] == cls
+        g_sel = img["gt_classes"] == cls
+        if not d_sel.any() and not g_sel.any():
             return None
-        recs = sorted((d for d in self._dets if d["class"] == cls),
-                      key=lambda d: -d["score"])
-        if not recs:
-            return 0.0
-        tp = np.asarray([d["tp"][thresh] for d in recs], np.float64)
-        fp = 1.0 - tp
-        tp_cum = np.cumsum(tp)
-        fp_cum = np.cumsum(fp)
-        recall = tp_cum / n_gt
-        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
-        # monotone envelope + 101-point interpolation
-        for i in range(len(precision) - 2, -1, -1):
-            precision[i] = max(precision[i], precision[i + 1])
-        idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-        return float(np.mean(np.where(idx < len(precision),
-                                      precision[np.minimum(idx,
-                                                           len(precision) - 1)],
-                                      0.0)))
+        dt_boxes = img["det_boxes"][d_sel]
+        dt_scores = img["det_scores"][d_sel]
+        gt_boxes = img["gt_boxes"][g_sel]
 
-    def result(self) -> Dict[str, float]:
-        classes = sorted(self._n_gt.keys())
-        per_thresh = []
-        for t in self.iou_thresholds:
-            aps = [self._ap_for(c, float(t)) for c in classes]
-            aps = [a for a in aps if a is not None]
-            per_thresh.append(np.mean(aps) if aps else 0.0)
-        out = {"AP": float(np.mean(per_thresh)) if per_thresh else 0.0}
-        for t, v in zip(self.iou_thresholds, per_thresh):
-            if abs(t - 0.5) < 1e-6:
-                out["AP50"] = float(v)
-            if abs(t - 0.75) < 1e-6:
-                out["AP75"] = float(v)
+        g_areas = _box_areas(gt_boxes)
+        gt_ig = (g_areas < area[0]) | (g_areas >= area[1])
+        # non-ignored gt first (COCOeval sorts by _ignore)
+        g_order = np.argsort(gt_ig, kind="stable")
+        gt_boxes = gt_boxes[g_order]
+        gt_ig = gt_ig[g_order]
+
+        d_order = np.argsort(-dt_scores, kind="stable")[:max_det]
+        dt_boxes = dt_boxes[d_order]
+        dt_scores = dt_scores[d_order]
+        d_areas = _box_areas(dt_boxes)
+        dt_out_of_range = (d_areas < area[0]) | (d_areas >= area[1])
+
+        n_t = len(self.iou_thresholds)
+        n_d = len(dt_boxes)
+        n_g = len(gt_boxes)
+        matched = np.zeros((n_t, n_d), bool)
+        ignored = np.zeros((n_t, n_d), bool)
+        if n_g:
+            ious = np.stack([iou_np(db, gt_boxes) for db in dt_boxes]) \
+                if n_d else np.zeros((0, n_g))
+            for ti, t in enumerate(self.iou_thresholds):
+                gt_used = np.zeros(n_g, bool)
+                for di in range(n_d):
+                    best, best_iou = -1, min(float(t), 1.0 - 1e-10)
+                    for gi in range(n_g):
+                        if gt_used[gi]:
+                            continue
+                        # once we reach ignored gts, stop if we already
+                        # matched a non-ignored one (COCOeval rule)
+                        if best >= 0 and not gt_ig[best] and gt_ig[gi]:
+                            break
+                        if ious[di, gi] >= best_iou:
+                            best, best_iou = gi, ious[di, gi]
+                    if best >= 0:
+                        gt_used[best] = True
+                        matched[ti, di] = True
+                        ignored[ti, di] = gt_ig[best]
+                    else:
+                        ignored[ti, di] = dt_out_of_range[di]
+        else:
+            ignored[:] = dt_out_of_range[None, :]
+        n_pig = int((~gt_ig).sum())
+        return dt_scores, matched, ignored, n_pig
+
+    def _accumulate(self, cls: int, area: Tuple[float, float], max_det: int):
+        """(precision[T, 101], recall[T]) for one cell, or None if the class
+        has no non-ignored gt anywhere (pycocotools -1 convention)."""
+        scores, matched, ignored = [], [], []
+        n_pig = 0
+        for img in self._images:
+            res = self._evaluate_img(img, cls, area, max_det)
+            if res is None:
+                continue
+            s, m, ig, npg = res
+            scores.append(s)
+            matched.append(m)
+            ignored.append(ig)
+            n_pig += npg
+        if n_pig == 0:
+            return None
+        if scores:
+            scores = np.concatenate(scores)
+            matched = np.concatenate(matched, axis=1)
+            ignored = np.concatenate(ignored, axis=1)
+            order = np.argsort(-scores, kind="mergesort")
+            matched = matched[:, order]
+            ignored = ignored[:, order]
+        else:
+            matched = np.zeros((len(self.iou_thresholds), 0), bool)
+            ignored = np.zeros_like(matched)
+
+        n_t = len(self.iou_thresholds)
+        precision = np.zeros((n_t, len(RECALL_POINTS)))
+        recall = np.zeros(n_t)
+        for ti in range(n_t):
+            keep = ~ignored[ti]
+            tp = np.cumsum(matched[ti][keep].astype(np.float64))
+            fp = np.cumsum((~matched[ti][keep]).astype(np.float64))
+            if len(tp) == 0:
+                continue
+            rc = tp / n_pig
+            pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+            recall[ti] = rc[-1]
+            # monotone envelope
+            for i in range(len(pr) - 1, 0, -1):
+                if pr[i] > pr[i - 1]:
+                    pr[i - 1] = pr[i]
+            idx = np.searchsorted(rc, RECALL_POINTS, side="left")
+            valid = idx < len(pr)
+            precision[ti][valid] = pr[np.minimum(idx[valid], len(pr) - 1)]
+        return precision, recall
+
+    def result(self, per_class: bool = False) -> Dict[str, float]:
+        """The 12 standard metrics (reference coco_metric.py:186-201), plus
+        'AP_/<cls>' per-class entries when per_class=True (the label_map
+        branch at 203-214)."""
+        classes = sorted({int(c) for img in self._images
+                          for c in np.concatenate([img["gt_classes"],
+                                                   img["det_classes"]])})
+        cells: Dict[Tuple[str, int], dict] = {}
+        for aname, arange in AREA_RANGES.items():
+            for m in self.max_dets:
+                per_cls = {c: self._accumulate(c, arange, m)
+                           for c in classes}
+                cells[(aname, m)] = per_cls
+
+        def mean_ap(aname: str, max_det: int,
+                    thresh: Optional[float] = None,
+                    only_cls: Optional[int] = None) -> float:
+            vals = []
+            for c, acc in cells[(aname, max_det)].items():
+                if acc is None or (only_cls is not None and c != only_cls):
+                    continue
+                precision, _ = acc
+                if thresh is None:
+                    vals.append(precision.mean())
+                else:
+                    ti = int(np.argmin(np.abs(self.iou_thresholds - thresh)))
+                    vals.append(precision[ti].mean())
+            return float(np.mean(vals)) if vals else -1.0
+
+        def mean_ar(aname: str, max_det: int) -> float:
+            vals = [acc[1].mean()
+                    for acc in cells[(aname, max_det)].values()
+                    if acc is not None]
+            return float(np.mean(vals)) if vals else -1.0
+
+        md = max(self.max_dets)
+        out = {
+            "AP": mean_ap("all", md),
+            "AP50": mean_ap("all", md, thresh=0.5),
+            "AP75": mean_ap("all", md, thresh=0.75),
+            "APs": mean_ap("small", md),
+            "APm": mean_ap("medium", md),
+            "APl": mean_ap("large", md),
+            "ARmax1": mean_ar("all", self.max_dets[0]),
+            "ARmax10": mean_ar("all", self.max_dets[1]),
+            "ARmax100": mean_ar("all", md),
+            "ARs": mean_ar("small", md),
+            "ARm": mean_ar("medium", md),
+            "ARl": mean_ar("large", md),
+        }
+        if per_class:
+            for c in classes:
+                out[f"AP_/{c}"] = mean_ap("all", md, only_cls=c)
         return out

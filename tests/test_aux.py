@@ -64,6 +64,7 @@ def test_benchmark_harness():
     assert dt > 0
 
 
+@pytest.mark.slow
 def test_supervised_map_eval(tiny_cfg):
     """The COCO-eval callback loop runs end-to-end on synthetic batches."""
     from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer

@@ -1,0 +1,257 @@
+"""File-based TF checkpoint restore + end-to-end serving parity.
+
+Closes SURVEY §7 stage 6 / round-1 verdict item 1: the reference's core
+serving story is download tarball -> TF1 name-based checkpoint (with
+`ExponentialMovingAverage` shadow variables) -> restore_ckpt -> serve
+(util.py:76-88, tf2/util_keras.py:108-203, tf2/infer_lib.py:383-421).
+
+These tests write a real TF1 name-based checkpoint FILE (SaveV2, the
+same record format as the official cloud-tpu-checkpoints releases),
+including EMA shadows whose raw-name slots deliberately hold garbage —
+then restore through BOTH consumers:
+
+  * the reference `util_keras.restore_ckpt` (proves the fixture is
+    faithful to the format the reference actually reads), and
+  * our `ckpt/convert_tf.load_tf_checkpoint` + `convert_tf_weights`.
+
+and assert numerical agreement end to end: raw uint8 image in ->
+boxes/scores/classes out of `Detector.serve` vs the reference
+`EfficientDetModel.__call__` (the KerasDriver.serve body,
+infer_lib.py:405-421), covering DetectionInputProcessor preprocessing,
+pre-NMS candidate selection, NMS, clipping and scale-back.
+
+Marked slow: builds reference keras models (TF import + build ~1 min).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference/automl/efficientdet"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference tree not available"),
+]
+
+
+@pytest.fixture(scope="module")
+def tf_env():
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    if os.environ.get("TF_USE_LEGACY_KERAS") != "1":
+        pytest.skip("legacy keras required")
+    tf = pytest.importorskip("tensorflow")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    return tf
+
+
+def _set_deterministic_weights(model, seed: int = 0):
+    """Assign seeded, healthily-scaled weights (BN variance > 0 etc.) so the
+    fixture is reproducible across processes (keras initializers are not)."""
+    rng = np.random.RandomState(seed)
+    for w in model.weights:
+        name, shape = w.name, w.shape.as_list()
+        if "moving_variance" in name:
+            val = rng.uniform(0.5, 1.5, shape)
+        elif "moving_mean" in name or "beta" in name or "bias" in name:
+            val = rng.uniform(-0.1, 0.1, shape)
+        elif "gamma" in name or "WSM" in name:
+            val = rng.uniform(0.8, 1.2, shape)
+        else:  # conv kernels
+            fan_in = float(np.prod(shape[:-1])) or 1.0
+            val = rng.normal(0.0, fan_in ** -0.5, shape)
+        w.assign(val.astype(np.float32))
+
+
+def _write_tf1_ema_checkpoint(tf, model, prefix: str, *, noise_seed: int = 1):
+    """Write a TF1 name-based checkpoint file for a live keras model.
+
+    Every variable gets two entries, mirroring a moving_average_decay
+    training run: `<name>` (deliberate garbage: value + U(1,2)) and
+    `<name>/ExponentialMovingAverage` (the true value). A restore that does
+    not prefer the EMA shadows produces a visibly broken model.
+    """
+    rng = np.random.RandomState(noise_seed)
+    names, tensors = [], []
+    for w in model.weights:
+        base = w.name.split(":")[0]
+        val = w.numpy()
+        names.append(base)
+        tensors.append((val + rng.uniform(1.0, 2.0, val.shape))
+                       .astype(np.float32))
+        names.append(base + "/ExponentialMovingAverage")
+        tensors.append(val)
+    os.makedirs(os.path.dirname(prefix), exist_ok=True)
+    tf.raw_ops.SaveV2(prefix=prefix, tensor_names=names,
+                      shape_and_slices=[""] * len(names), tensors=tensors)
+    return {w.name.split(":")[0]: w.numpy() for w in model.weights}
+
+
+def _scramble(model):
+    for w in model.weights:
+        w.assign(np.full(w.shape.as_list(), -7.0, np.float32))
+
+
+def _ref_cfg(ref_hparams, model_name):
+    cfg = ref_hparams.get_efficientdet_config(model_name)
+    cfg.image_size = 64
+    cfg.fpn_cell_repeats = 2
+    cfg.box_class_repeats = 2
+    return cfg
+
+
+def _our_cfg(model_name):
+    import mladversarialobjectdetection_tpu as mad
+    cfg = mad.get_efficientdet_config(model_name)
+    cfg.image_size = 64
+    cfg.fpn_cell_repeats = 2
+    cfg.box_class_repeats = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def lite0_fixture(tf_env, tmp_path_factory):
+    """(ref EfficientDetModel restored from file, ckpt prefix)."""
+    tf = tf_env
+    import hparams_config as ref_hparams
+    from tf2 import efficientdet_keras as ref_keras
+    from tf2 import util_keras
+
+    cfg = _ref_cfg(ref_hparams, "efficientdet-lite0")
+    tf.keras.backend.clear_session()
+    model = ref_keras.EfficientDetModel(config=cfg)
+    model.build((1, 64, 64, 3))
+    _set_deterministic_weights(model, seed=0)
+
+    prefix = str(tmp_path_factory.mktemp("ckpt") / "model.ckpt-7")
+    true_vals = _write_tf1_ema_checkpoint(tf, model, prefix)
+
+    # destroy the live weights, then restore through the FILE exactly the
+    # way KerasDriver does (infer_lib.py:401-403)
+    _scramble(model)
+    util_keras.restore_ckpt(model, prefix, cfg.moving_average_decay,
+                            skip_mismatch=False)
+    # the reference restore recovered the EMA (true) values
+    for w in model.weights:
+        np.testing.assert_allclose(
+            w.numpy(), true_vals[w.name.split(":")[0]], atol=1e-6,
+            err_msg=w.name)
+    return model, prefix
+
+
+def _convert_from_file(prefix, model_name="efficientdet-lite0"):
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ckpt import convert_tf
+    from mladversarialobjectdetection_tpu.models import efficientdet
+
+    cfg = _our_cfg(model_name)
+    spec = efficientdet.spec_from_config(cfg)
+    net = efficientdet.EfficientDetNet(spec)
+    variables = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)),
+        training=False)
+    tf_weights = convert_tf.load_tf_checkpoint(prefix)
+    converted = convert_tf.convert_tf_weights(tf_weights, cfg, spec,
+                                              variables, prefer_ema=True)
+    return cfg, spec, net, converted, variables, tf_weights
+
+
+def test_file_restore_forward_parity(lite0_fixture):
+    """load_tf_checkpoint + EMA-preferring conversion == reference restore."""
+    import jax
+    ref_model, prefix = lite0_fixture
+    _, _, net, converted, _, _ = _convert_from_file(prefix)
+
+    rng = np.random.RandomState(42)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref_cls, ref_box = ref_model(x, training=False, pre_mode=None,
+                                 post_mode=None)
+    our_cls, our_box = jax.jit(lambda v, xx: net.apply(v, xx, False))(
+        converted, x)
+    for lvl, (r, o) in enumerate(list(zip(ref_cls, our_cls))
+                                 + list(zip(ref_box, our_box))):
+        diff = np.abs(np.asarray(r) - np.asarray(o)).max()
+        assert diff < 2e-4, f"level {lvl}: max diff {diff}"
+
+
+def test_prefer_ema_actually_matters(lite0_fixture):
+    """The raw-name slots hold garbage; prefer_ema=False must pick them up
+    (sanity that the EMA preference is load-bearing, not vacuous)."""
+    import jax
+    from mladversarialobjectdetection_tpu.ckpt import convert_tf
+    _, prefix = lite0_fixture
+    cfg, spec, net, converted, variables, tf_weights = _convert_from_file(
+        prefix)
+    raw = convert_tf.convert_tf_weights(tf_weights, cfg, spec, variables,
+                                        prefer_ema=False)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         converted, raw)
+    assert max(jax.tree.leaves(diffs)) > 0.5
+
+
+def test_serve_parity_end_to_end(lite0_fixture):
+    """Raw uint8 image -> Detector.serve == reference EfficientDetModel
+    (KerasDriver.serve body): preprocessing, candidate selection, NMS,
+    clip, scale-back. Verdict bar: boxes/scores within 1e-3."""
+    import tensorflow as tf
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.ckpt import convert_tf
+
+    ref_model, prefix = lite0_fixture
+    raw = np.random.RandomState(5).uniform(
+        0, 255, (97, 123, 3)).astype(np.uint8)
+
+    rb, rs, rc, rv = ref_model(tf.constant(raw)[None], training=False)
+    rb, rs, rc = (np.asarray(rb)[0], np.asarray(rs)[0], np.asarray(rc)[0])
+    n_ref = int(np.asarray(rv)[0])
+
+    det = Detector(model_name="efficientdet-lite0",
+                   params={"image_size": 64, "fpn_cell_repeats": 2,
+                           "box_class_repeats": 2})
+    tfw = convert_tf.load_tf_checkpoint(prefix)
+    det.variables = convert_tf.convert_tf_weights(
+        tfw, det.config, det.spec, det.variables, prefer_ema=True)
+    out = det.serve(raw[None])
+
+    assert int(out.valid_len[0]) == n_ref
+    k = min(n_ref, 20)
+    assert np.abs(out.scores[0][:k] - rs[:k]).max() < 1e-3
+    assert np.abs(out.boxes[0][:k] - rb[:k]).max() < 1e-2  # px, orig coords
+    assert (out.classes[0][:k] == rc[:k]).all()
+
+
+def test_file_restore_d0(tf_env, tmp_path_factory):
+    """d-variant through the file path: non-separable head naming, SE blocks
+    and fastattn WSM keys in an actual checkpoint file."""
+    tf = tf_env
+    import jax
+    import hparams_config as ref_hparams
+    from tf2 import efficientdet_keras as ref_keras
+    from tf2 import util_keras
+
+    cfg = _ref_cfg(ref_hparams, "efficientdet-d0")
+    tf.keras.backend.clear_session()
+    model = ref_keras.EfficientDetNet(config=cfg)
+    model.build((1, 64, 64, 3))
+    _set_deterministic_weights(model, seed=3)
+    prefix = str(tmp_path_factory.mktemp("ckpt_d0") / "model.ckpt-11")
+    _write_tf1_ema_checkpoint(tf, model, prefix)
+    _scramble(model)
+    util_keras.restore_ckpt(model, prefix, cfg.moving_average_decay,
+                            skip_mismatch=False)
+
+    _, _, net, converted, _, _ = _convert_from_file(
+        prefix, "efficientdet-d0")
+    rng = np.random.RandomState(7)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref_cls, ref_box = model(x, training=False)
+    our_cls, our_box = jax.jit(lambda v, xx: net.apply(v, xx, False))(
+        converted, x)
+    for lvl, (r, o) in enumerate(list(zip(ref_cls, our_cls))
+                                 + list(zip(ref_box, our_box))):
+        diff = np.abs(np.asarray(r) - np.asarray(o)).max()
+        assert diff < 5e-4, f"level {lvl}: max diff {diff}"

@@ -17,6 +17,7 @@ def defender(tiny_detector):
                                eval_scale=0.4, n_filters=4)
 
 
+@pytest.mark.slow
 def test_train_step(defender, rand_images):
     st = defender.init_state(jax.random.PRNGKey(0))
     leaves0 = [np.asarray(x) for x in jax.tree.leaves(st.params)]
@@ -41,6 +42,7 @@ def test_recover_bounds(defender, rand_images):
     assert float(rec.min()) >= -1.0 and float(rec.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_detector_frozen(defender, rand_images):
     """Gradients must never reach the protege detector (layers frozen,
     attack_detection.py:46-47): det variables identical after a step."""

@@ -47,6 +47,7 @@ def test_adv_patch_from_array():
     assert ap._patch_img.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_demo_v2_pipeline(tmp_path, frame_dir):
     """Full demo_v2.main on a tiny random detector: writes clean/adv mp4s."""
     cv2 = pytest.importorskip("cv2")

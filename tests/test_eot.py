@@ -75,6 +75,83 @@ def test_zero_scale_is_noop():
     assert np.allclose(out, imgs)
 
 
+def _backend_pair(patch, scale, *, pin_rotation):
+    """Run both EOT backends with shared keys/geometry, noise off.
+
+    Alignment conditions (see ops/eot.py geometry notes): patch side ==
+    canvas_res so the matmul backend's pre-downsample is the identity;
+    scale chosen so every slot upscales (rho = canvas/size <= 1), where
+    the antialiasing triangle radius collapses to plain bilinear — the
+    gather backend's kernel; and every region diag fits the matmul window
+    (the backends clamp the region to window vs image width respectively).
+    Calls the unjitted function so pin_rotation can't hit a stale jit
+    cache."""
+    b, hw = 2, 96
+    imgs = jax.random.uniform(jax.random.PRNGKey(4), (b, hw, hw, 3),
+                              minval=-1, maxval=1)
+    # box long sides 52/52/44: at scale .75 -> sizes 39/39/33 (all >= 32)
+    # and diags <= 56 (< window 80)
+    boxes = jnp.array([[[8., 8., 60., 60.], [0., 0., 0., 0.]],
+                       [[20., 30., 72., 82.], [4., 4., 44., 48.]]])
+    valid = jnp.array([[True, False], [True, True]])
+    key = jax.random.PRNGKey(6)
+    kwargs = dict(tolerance=0.2, noise_mag=0.0, brightness_mag=0.3,
+                  canvas_res=patch.shape[0])
+    fn = eot.apply_patches.__wrapped__  # unjitted
+    old = eot.DEG20
+    try:
+        if pin_rotation:
+            eot.DEG20 = 0.0
+        out_mm, reg_mm = fn(key, imgs, boxes, valid, patch, scale,
+                            backend="matmul", window=80, **kwargs)
+        out_g, reg_g = fn(key, imgs, boxes, valid, patch, scale,
+                          backend="gather", window=None, **kwargs)
+    finally:
+        eot.DEG20 = old
+    return imgs, out_mm, reg_mm, out_g, reg_g
+
+
+def _compare_backends(imgs, out_mm, reg_mm, out_g, reg_g, tol):
+    assert np.array_equal(np.asarray(reg_mm), np.asarray(reg_g))
+    diff = np.abs(np.asarray(out_mm) - np.asarray(out_g))
+    inside = np.asarray(jnp.any(jnp.abs(out_g - imgs) > 1e-6, axis=-1))
+    assert inside.sum() > 1000  # the comparison actually covers patches
+    assert diff[inside].max() < tol, diff[inside].max()
+    # untouched pixels are bit-identical to the input in both backends
+    assert np.array_equal(np.asarray(out_mm)[~inside],
+                          np.asarray(imgs)[~inside])
+
+
+def test_matmul_matches_gather_pinned_rotation():
+    """Rotation pinned to 0: the two-pass warp degenerates to exact
+    separable bilinear — the gather backend's kernel — so a white-noise
+    patch must agree sample-for-sample to bf16 einsum precision (~0.4% of
+    the [-1,1] range x a couple of taps). Pins translation + scale
+    sampling math against the independent formulation."""
+    p = 32
+    patch = jax.random.uniform(jax.random.PRNGKey(5), (p, p, 3),
+                               minval=-1, maxval=1)
+    _compare_backends(*_backend_pair(patch, 0.75, pin_rotation=True),
+                      tol=0.03)
+
+
+def test_matmul_matches_gather_rotated_ramp():
+    """Rotation on, linear-ramp patch: both interpolators reproduce affine
+    content exactly at their effective sampling coordinate, so agreement
+    pins the ROTATION geometry (any sub-pixel coordinate error shows as
+    slope x offset). A white-noise patch would instead expose the benign
+    two-pass-vs-direct interpolation difference (~0.1), which is why this
+    part uses smooth content."""
+    p = 32
+    ramp_y = jnp.linspace(-1.0, 1.0, p)[:, None]
+    ramp_x = jnp.linspace(-1.0, 1.0, p)[None, :]
+    patch = jnp.stack([jnp.broadcast_to(ramp_y, (p, p)),
+                       jnp.broadcast_to(ramp_x, (p, p)),
+                       0.5 * ramp_y + 0.5 * ramp_x], axis=-1)
+    _compare_backends(*_backend_pair(patch, 0.75, pin_rotation=False),
+                      tol=0.05)
+
+
 def test_total_variation():
     img = jnp.zeros((4, 4, 1)).at[0, 0, 0].set(1.0)
     assert np.isclose(float(eot.total_variation(img)), 2.0)

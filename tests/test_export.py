@@ -3,6 +3,83 @@ model_inspect_test.py:63-169 / infer_lib_test.py:40-126 shapes)."""
 import numpy as np
 import pytest
 
+TINY = {"image_size": 64, "fpn_num_filters": 16, "fpn_cell_repeats": 1,
+        "box_class_repeats": 1,
+        "nms_configs": {"pre_nms_topk": 64, "max_output_size": 8}}
+
+
+def _tiny_served_detector():
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    det = Detector(model_name="efficientdet-lite0", params=TINY)
+    raw = np.random.RandomState(5).uniform(
+        0, 255, (2, 80, 100, 3)).astype(np.uint8)
+    return det, raw, det.serve(raw)
+
+
+def _assert_matches(out, ref, atol_box=1e-3):
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
+                       atol=atol_box)
+    assert np.array_equal(np.asarray(out.classes), np.asarray(ref.classes))
+    assert np.array_equal(np.asarray(out.valid_len),
+                          np.asarray(ref.valid_len))
+
+
+def test_stablehlo_driver_reserves_export(tmp_path):
+    """Detector.export('stablehlo') -> StableHloDriver.serve == live serve
+    (the reference's export -> re-serve story, infer_lib.py:120-135)."""
+    from mladversarialobjectdetection_tpu.inference.drivers import (
+        StableHloDriver)
+    det, raw, ref = _tiny_served_detector()
+    path = str(tmp_path / "det.stablehlo")
+    det.export(path, fmt="stablehlo", batch_size=2)
+    driver = StableHloDriver(path, model_name="efficientdet-lite0",
+                             params=TINY)
+    _assert_matches(driver.serve(raw), ref)
+
+
+@pytest.mark.slow
+def test_saved_model_driver_reserves_export(tmp_path):
+    """Detector.export('saved_model') -> SavedModelDriver (TF runtime)."""
+    pytest.importorskip("tensorflow")
+    from mladversarialobjectdetection_tpu.inference.drivers import (
+        SavedModelDriver)
+    det, raw, ref = _tiny_served_detector()
+    out_dir = str(tmp_path / "saved_model")
+    det.export(out_dir, fmt="saved_model", batch_size=2)
+    driver = SavedModelDriver(out_dir, model_name="efficientdet-lite0",
+                              params=TINY)
+    _assert_matches(driver.serve(raw), ref)
+
+
+@pytest.mark.slow
+def test_tflite_driver_reserves_export(tmp_path):
+    """Detector.export('tflite') -> TfliteDriver (TFLite interpreter)."""
+    pytest.importorskip("tensorflow")
+    from mladversarialobjectdetection_tpu.inference.drivers import (
+        TfliteDriver)
+    det, raw, ref = _tiny_served_detector()
+    path = str(tmp_path / "det.tflite")
+    det.export(path, fmt="tflite", batch_size=2)
+    driver = TfliteDriver(path, model_name="efficientdet-lite0", params=TINY)
+    # TFLite kernels differ slightly from XLA; with a random-weight model
+    # the score field is nearly flat, so near-tie candidates can swap under
+    # float drift. Assert set-wise agreement instead of slotwise equality.
+    out = driver.serve(raw)
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores),
+                       atol=1e-3)
+    from mladversarialobjectdetection_tpu.ops.nms_np import iou_np
+    for i in range(len(raw)):
+        matched = 0
+        for ob, os_ in zip(np.asarray(out.boxes)[i],
+                           np.asarray(out.scores)[i]):
+            ious = iou_np(ob, np.asarray(ref.boxes)[i])
+            close = (np.abs(np.asarray(ref.scores)[i] - os_) < 1e-3)
+            if np.any((ious > 0.9) & close):
+                matched += 1
+        assert matched >= 6, f"image {i}: only {matched}/8 detections match"
+
 
 def test_stablehlo_roundtrip(tmp_path):
     import jax.numpy as jnp

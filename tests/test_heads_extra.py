@@ -1,4 +1,5 @@
 """Segmentation head + mixed-precision model tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ def _tiny(heads=("object_detection",), mixed=False):
     return cfg
 
 
+@pytest.mark.slow
 def test_segmentation_head():
     cfg = _tiny(heads=("object_detection", "segmentation"))
     cfg.update({"seg_num_classes": 5})
@@ -32,6 +34,7 @@ def test_segmentation_head():
     assert len(cls_out) == 5
 
 
+@pytest.mark.slow
 def test_segmentation_only():
     cfg = _tiny(heads=("segmentation",))
     spec = efficientdet.spec_from_config(cfg)
@@ -43,6 +46,7 @@ def test_segmentation_only():
     assert seg.shape == (1, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_mixed_precision_outputs_fp32_and_close():
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3),
                            minval=-1, maxval=1)

@@ -85,6 +85,7 @@ def test_forward_shapes(tiny_detector, rand_images):
     assert box_out[0].shape[-1] == 4 * na
 
 
+@pytest.mark.slow
 def test_unet_shapes_and_range():
     net = unet.PatchNeutralizer(n_filters=4)
     x = jnp.zeros((1, 64, 64, 3))

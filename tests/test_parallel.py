@@ -25,6 +25,7 @@ def test_shard_batch_layout():
     assert sx.addressable_shards[0].data.shape == (2, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_attack_step_on_mesh(tiny_detector, rand_images):
     """Full SPMD attack step: batch sharded over 8 devices, state replicated;
     the result must equal the single-device step (collectives correct)."""

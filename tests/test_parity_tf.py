@@ -18,8 +18,11 @@ import pytest
 
 REFERENCE = "/root/reference/automl/efficientdet"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference tree not available")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference tree not available"),
+]
 
 
 @pytest.fixture(scope="module")
@@ -33,7 +36,8 @@ def tf_env():
     return tf
 
 
-def _build_pair(tf, model_name: str):
+def _build_pair(tf, model_name: str, image_size: int = 64,
+                repeats: int | None = 2):
     """Reference TF model + our Flax model with converted weights."""
     import hparams_config as ref_hparams  # vendored reference module
     from tf2 import efficientdet_keras as ref_keras
@@ -45,23 +49,25 @@ def _build_pair(tf, model_name: str):
     from mladversarialobjectdetection_tpu.models import efficientdet
 
     ref_cfg = ref_hparams.get_efficientdet_config(model_name)
-    ref_cfg.image_size = 64
-    ref_cfg.fpn_cell_repeats = 2
-    ref_cfg.box_class_repeats = 2
+    ref_cfg.image_size = image_size
+    if repeats is not None:
+        ref_cfg.fpn_cell_repeats = repeats
+        ref_cfg.box_class_repeats = repeats
     # reset keras name counters: a second model in the same process would
     # otherwise get _1-suffixed variable names and break the converter map
     tf.keras.backend.clear_session()
     tf.random.set_seed(0)
     ref_model = ref_keras.EfficientDetNet(config=ref_cfg)
-    ref_model.build((1, 64, 64, 3))
+    ref_model.build((1, image_size, image_size, 3))
 
     cfg = mad.get_efficientdet_config(model_name)
-    cfg.image_size = 64
-    cfg.fpn_cell_repeats = 2
-    cfg.box_class_repeats = 2
+    cfg.image_size = image_size
+    if repeats is not None:
+        cfg.fpn_cell_repeats = repeats
+        cfg.box_class_repeats = repeats
     spec = efficientdet.spec_from_config(cfg)
     net = efficientdet.EfficientDetNet(spec)
-    x0 = jnp.zeros((1, 64, 64, 3))
+    x0 = jnp.zeros((1, image_size, image_size, 3))
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(0)}, x0, training=False)
 
@@ -119,6 +125,58 @@ def test_forward_parity_d0(tf_env):
     for lvl, (rb, ob) in enumerate(zip(ref_box, our_box)):
         diff = np.abs(np.asarray(rb) - np.asarray(ob)).max()
         assert diff < 5e-4, f"box level {lvl}: max diff {diff}"
+
+
+def test_input_gradient_parity(models):
+    """Input gradients agree with TF (the reference's own golden bar,
+    tf2/efficientdet_keras_test.py:37-69). The attack trains through the
+    detector's backward pass — this pins that surface."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    ref_model, net, converted = models
+    rng = np.random.RandomState(42)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    # attack-shaped scalar: mean sigmoid class score + mean box regression
+    xt = tf.constant(x)
+    with tf.GradientTape() as tape:
+        tape.watch(xt)
+        cls_out, box_out = ref_model(xt, training=False)
+        c = tf.concat([tf.reshape(t, [-1]) for t in cls_out], 0)
+        b = tf.concat([tf.reshape(t, [-1]) for t in box_out], 0)
+        loss = tf.reduce_mean(tf.sigmoid(c)) + tf.reduce_mean(b)
+    ref_grad = tape.gradient(loss, xt).numpy()
+
+    def our_loss(xx):
+        cls_o, box_o = net.apply(converted, xx, False)
+        c = jnp.concatenate([jnp.ravel(t) for t in cls_o])
+        b = jnp.concatenate([jnp.ravel(t) for t in box_o])
+        return jnp.mean(jax.nn.sigmoid(c)) + jnp.mean(b)
+
+    our_grad = np.asarray(jax.jit(jax.grad(our_loss))(jnp.asarray(x)))
+    scale = np.abs(ref_grad).max()
+    assert scale > 0
+    rel = np.abs(ref_grad - our_grad).max() / scale
+    assert rel < 1e-4, f"input-grad relative diff {rel}"
+
+
+def test_forward_parity_lite4_640(tf_env):
+    """Full-resolution golden on the production victim: lite4 @ 640 with
+    the real repeat counts (attacker_train.py:22's model). Slow (~minutes);
+    pins the exact network the attack targets."""
+    import jax
+    ref_model, net, converted = _build_pair(tf_env, "efficientdet-lite4",
+                                            image_size=640, repeats=None)
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-1, 1, (1, 640, 640, 3)).astype(np.float32)
+    ref_cls, ref_box = ref_model(x, training=False)
+    our_cls, our_box = jax.jit(lambda v, xx: net.apply(v, xx, False))(
+        converted, x)
+    for lvl, (r, o) in enumerate(list(zip(ref_cls, our_cls))
+                                 + list(zip(ref_box, our_box))):
+        diff = np.abs(np.asarray(r) - np.asarray(o)).max()
+        assert diff < 1e-3, f"level {lvl}: max diff {diff}"
 
 
 def test_anchor_parity(tf_env):

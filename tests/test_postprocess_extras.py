@@ -123,3 +123,107 @@ def test_coco_metric_localization_quality():
     assert res["AP50"] == pytest.approx(1.0)
     assert res["AP75"] == pytest.approx(1.0)
     assert res["AP"] < 1.0
+    # IoU .8 matches thresholds .5 .55 .6 .65 .7 .75 (6 of 10) exactly
+    assert res["AP"] == pytest.approx(0.6)
+    assert res["ARmax100"] == pytest.approx(0.6)
+
+
+def test_coco_metric_full_suite_hand_computed():
+    """Hand-computed pycocotools COCOeval outcome (exact IoU matches so
+    every threshold behaves identically):
+
+    img0: gt large (100x100), TP det @.9 + FP det @.85 (large, far off).
+    img1: gt small (20x20), TP det @.8 + FP det @.7 (10x10, small).
+
+    all-area: score order .9 TP, .85 FP, .8 TP, .7 FP over n_gt 2:
+      rc=[.5,.5,1,1], pr=[1,.5,2/3,.5] -> envelope [1,2/3,2/3,2/3];
+      101-pt AP = (51 + 50*2/3)/101.
+    small: only img1 counts (img0's gt/dets out of range -> ignored):
+      .8 TP then .7 FP over n_gt 1 -> AP 1.
+    large: only img0's TP survives (img1's dets ignored; the .85 FP is
+      large and in-range -> FP after recall 1 -> shadowed) ->
+      rc=[1,1] pr=[1,.5] -> AP 1.
+    """
+    ev = coco_metric.COCOEvaluator()
+    ev.add_image(np.array([[0., 0., 100., 100.], [150., 150., 250., 250.]]),
+                 [0.9, 0.85], [1, 1],
+                 np.array([[0., 0., 100., 100.]]), [1])
+    ev.add_image(np.array([[0., 0., 20., 20.], [50., 50., 60., 60.]]),
+                 [0.8, 0.7], [1, 1],
+                 np.array([[0., 0., 20., 20.]]), [1])
+    res = ev.result()
+    expected_ap = (51 + 50 * (2.0 / 3.0)) / 101
+    assert res["AP"] == pytest.approx(expected_ap, abs=1e-9)
+    assert res["AP50"] == pytest.approx(expected_ap, abs=1e-9)
+    assert res["AP75"] == pytest.approx(expected_ap, abs=1e-9)
+    assert res["APs"] == pytest.approx(1.0)
+    assert res["APl"] == pytest.approx(1.0)
+    assert res["APm"] == -1.0  # no medium gt anywhere: pycocotools -1
+    assert res["ARmax1"] == pytest.approx(1.0)   # top-1 per image is the TP
+    assert res["ARmax100"] == pytest.approx(1.0)
+    assert res["ARs"] == pytest.approx(1.0)
+    assert res["ARl"] == pytest.approx(1.0)
+    assert res["ARm"] == -1.0
+
+
+def test_coco_metric_maxdets_and_per_class():
+    """maxDet=1 drops the second-best det per image; per-class output."""
+    ev = coco_metric.COCOEvaluator()
+    gt = np.array([[0., 0., 50., 50.], [100., 100., 150., 150.]])
+    # both gts detected, but the better-scored det is on gt0
+    ev.add_image(gt, [0.9, 0.8], [1, 1], gt, [1, 1])
+    # second class, undetected
+    ev.add_image(np.zeros((0, 4)), [], [],
+                 np.array([[0., 0., 40., 40.]]), [2])
+    res = ev.result(per_class=True)
+    # class 1: AR@1 = .5 (only gt0 matched under maxDet 1); class 2: 0
+    assert res["ARmax1"] == pytest.approx(0.25)
+    assert res["ARmax100"] == pytest.approx(0.5)
+    assert res["AP_/1"] == pytest.approx(1.0)
+    assert res["AP_/2"] == pytest.approx(0.0)
+
+
+def test_coco_metric_matches_pycocotools_if_available():
+    """Randomized cross-check against pycocotools (skipped where the
+    package is unavailable; runs in richer environments)."""
+    cocoeval_mod = pytest.importorskip("pycocotools.cocoeval")
+    coco_mod = pytest.importorskip("pycocotools.coco")
+    rng = np.random.RandomState(0)
+    images, anns, dets = [], [], []
+    ann_id = 1
+    ev = coco_metric.COCOEvaluator()
+    for img_id in range(1, 5):
+        images.append({"id": img_id, "height": 300, "width": 300})
+        n_gt = rng.randint(1, 5)
+        g_yx = rng.uniform(0, 200, (n_gt, 2))
+        g_wh = rng.uniform(10, 100, (n_gt, 2))
+        g_boxes = np.concatenate([g_yx, g_yx + g_wh], 1)
+        g_cls = rng.randint(1, 3, n_gt)
+        for b, c in zip(g_boxes, g_cls):
+            anns.append({"id": ann_id, "image_id": img_id,
+                         "category_id": int(c), "iscrowd": 0,
+                         "bbox": [b[1], b[0], b[3] - b[1], b[2] - b[0]],
+                         "area": float((b[2] - b[0]) * (b[3] - b[1]))})
+            ann_id += 1
+        n_dt = rng.randint(1, 6)
+        pick = rng.randint(0, n_gt, n_dt)
+        d_boxes = g_boxes[pick] + rng.uniform(-15, 15, (n_dt, 4))
+        d_cls = g_cls[pick]
+        d_scores = rng.uniform(0.1, 1.0, n_dt)
+        for b, c, s in zip(d_boxes, d_cls, d_scores):
+            dets.append({"image_id": img_id, "category_id": int(c),
+                         "bbox": [b[1], b[0], b[3] - b[1], b[2] - b[0]],
+                         "score": float(s)})
+        ev.add_image(d_boxes, d_scores, d_cls, g_boxes, g_cls)
+
+    gt_coco = coco_mod.COCO()
+    gt_coco.dataset = {"images": images, "annotations": anns,
+                       "categories": [{"id": 1}, {"id": 2}]}
+    gt_coco.createIndex()
+    ce = cocoeval_mod.COCOeval(gt_coco, gt_coco.loadRes(dets), "bbox")
+    ce.evaluate(); ce.accumulate(); ce.summarize()
+    ours = ev.result()
+    keys = ["AP", "AP50", "AP75", "APs", "APm", "APl",
+            "ARmax1", "ARmax10", "ARmax100", "ARs", "ARm", "ARl"]
+    for i, k in enumerate(keys):
+        assert ours[k] == pytest.approx(float(ce.stats[i]), abs=1e-6), k

@@ -9,6 +9,7 @@ from mladversarialobjectdetection_tpu.ckpt import io as ckpt_io
 from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
 
 
+@pytest.mark.slow
 def test_full_state_roundtrip(tmp_path, tiny_cfg):
     """Full TrainState (params + BN stats + optimizer + EMA + step)
     roundtrips through the msgpack state checkpoint."""

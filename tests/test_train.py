@@ -89,6 +89,7 @@ def test_schedules():
     assert float(sched(total)) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_step(tiny_cfg):
     t = trainer.DetectorTrainer(tiny_cfg, steps_per_epoch=10)
     state = t.init_state(jax.random.PRNGKey(0))

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 TINY = {"fpn_num_filters": 16, "fpn_cell_repeats": 1, "box_class_repeats": 1,
         "nms_configs": {"pre_nms_topk": 64, "max_output_size": 16},
         "max_boxes_per_image": 4}
