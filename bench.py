@@ -22,6 +22,7 @@ plus the serial per-person while_loop patcher => <= ~17 img/s. We use
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -83,7 +84,12 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     def fence(s):
         return float(jnp.sum(s.scale))
 
-    train_step = jax.jit(attacker.train_step, donate_argnums=0)
+    # steady-state driver step: the ASR metrics-NMS runs only on logged
+    # steps (1/50 in attack/train.py), so the representative per-step cost
+    # excludes it
+    train_step = jax.jit(
+        functools.partial(attacker.train_step, with_asr=False),
+        donate_argnums=0)
     state, metrics = train_step(state, images)
     fence(state)
     log("train_step compiled")

@@ -181,9 +181,17 @@ class PatchAttacker:
         return loss, aux
 
     # -- steps -------------------------------------------------------------
-    def train_step(self, state: AttackState, images: jnp.ndarray
+    def train_step(self, state: AttackState, images: jnp.ndarray,
+                   with_asr: bool = True
                    ) -> Tuple[AttackState, StepMetrics]:
-        """One SPMD attack step. jit/pjit me."""
+        """One SPMD attack step. jit/pjit me (with_asr static).
+
+        with_asr=False skips the metrics-only NMS pass over the patched
+        detections (~16 ms/step on v5e at lite4@640 b24) and reports
+        asr/asr_to_scale as NaN; the optimization itself is identical.
+        Drivers run the ASR variant only on logged steps — the reference
+        computes ASR in-graph every step (attacker.py:238-263) but only
+        ever *reads* it at visualize/log cadence."""
         key, k_eot, k_next = jax.random.split(state.key, 3)
         del key
         boxes, clean_scores, clean_valid = self.first_pass(images)
@@ -204,7 +212,8 @@ class PatchAttacker:
         patch = jnp.clip(patch, -1.0, 1.0)
         scale = jnp.clip(scale, 0.0, 1.0)
 
-        metrics = self._metrics(loss, scale, aux, clean_scores, clean_valid)
+        metrics = self._metrics(loss, scale, aux, clean_scores, clean_valid,
+                                with_asr=with_asr)
         new_state = AttackState(patch, scale, opt_state, state.step + 1,
                                 k_next)
         return new_state, metrics
@@ -222,12 +231,15 @@ class PatchAttacker:
                                            boxes, boxes_valid, k_eot)
         return self._metrics(loss, state.scale, aux, clean_scores, clean_valid)
 
-    def _metrics(self, loss, scale, aux, clean_scores, clean_valid
-                 ) -> StepMetrics:
-        _, adv_nms_scores, adv_nms_valid = self._nms(aux["adv_boxes"],
-                                                     aux["adv_masked"])
-        asr = self.calc_asr(clean_scores, clean_valid, adv_nms_scores,
-                            adv_nms_valid)
+    def _metrics(self, loss, scale, aux, clean_scores, clean_valid,
+                 with_asr: bool = True) -> StepMetrics:
+        if with_asr:
+            _, adv_nms_scores, adv_nms_valid = self._nms(aux["adv_boxes"],
+                                                         aux["adv_masked"])
+            asr = self.calc_asr(clean_scores, clean_valid, adv_nms_scores,
+                                adv_nms_valid)
+        else:
+            asr = jnp.asarray(jnp.nan)
         return StepMetrics(
             loss=loss,
             scale=scale,

@@ -95,7 +95,8 @@ def train(model_name: str = "efficientdet-lite4", *,
     det_vars = replicate(mesh, det_vars)
     attacker.det_variables = det_vars
 
-    train_step = jax.jit(attacker.train_step, donate_argnums=0)
+    train_step = jax.jit(attacker.train_step, donate_argnums=0,
+                         static_argnames=("with_asr",))
     eval_step = jax.jit(attacker.eval_step)
 
     # data
@@ -134,10 +135,13 @@ def train(model_name: str = "efficientdet-lite4", *,
             batch = next(train_iter)
             aug_key, k = jax.random.split(aug_key)
             batch = pipeline.augment_batch(k, batch)
-            state, metrics = train_step(state, batch)
+            # ASR needs an extra metrics-only NMS pass; run it only on
+            # steps whose metrics are actually logged
+            logged = (step + 1) % 50 == 0
+            state, metrics = train_step(state, batch, with_asr=logged)
             thr.count(batch_size)
             step += 1
-            if step % 50 == 0:
+            if logged:
                 mlog.log(step, metrics._asdict(), prefix="train/")
         ips = thr.rate()
 

@@ -75,10 +75,12 @@ def make_example(encoded_image: bytes, height: int, width: int,
 
 
 def write_records(records: List[bytes], path: str) -> None:
+    """Write framed records with valid masked CRC32Cs — the output must be
+    readable by TF's own (CRC-verifying) TFRecordDataset."""
+    from .tfrecord import frame_record
     with open(path, "wb") as f:
         for rec in records:
-            f.write(struct.pack("<Q", len(rec)) + b"\x00" * 4
-                    + rec + b"\x00" * 4)
+            f.write(frame_record(rec))
 
 
 def convert(annotation_file: str, image_dir: str, output_prefix: str, *,

@@ -7,14 +7,57 @@ image/object/class/label), and yield fixed-shape padded training batches.
 
 No TensorFlow dependency: the TFRecord framing and the protobuf wire
 format of tf.Example are decoded directly (the format is stable and tiny);
-crc32c record checksums are not verified (we are not defending against
-disk corruption here, and crc32c has no stdlib implementation).
+Record framing rides the native C reader (`_tfrecord_native`, built by
+tools/build_native.sh — the analog of tf.data's C++ TFRecordDataset)
+with real masked-CRC32C validation when available; a pure-python
+fallback (CRCs unverified on read) keeps the package dependency-free.
+Writers always emit valid CRCs so the output is readable by TF itself.
 """
 from __future__ import annotations
 
 import os
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
+
+try:
+    from . import _tfrecord_native  # built by tools/build_native.sh
+except ImportError:  # pure-python fallback
+    _tfrecord_native = None
+
+
+def _crc32c_py(data: bytes) -> int:
+    """Table-driven CRC32C (Castagnoli); used only when the native
+    extension is absent (writing is offline tooling, speed is fine)."""
+    table = _crc32c_py.table
+    if table is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (0x82F63B78 ^ (c >> 1)) if c & 1 else c >> 1
+            table.append(c)
+        _crc32c_py.table = table
+    c = 0xFFFFFFFF
+    for b in data:
+        c = table[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+_crc32c_py.table = None
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked CRC (tensorflow/core/lib/hash/crc32c.h)."""
+    c = (_tfrecord_native.crc32c(data) if _tfrecord_native is not None
+         else _crc32c_py(data))
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def frame_record(payload: bytes) -> bytes:
+    """One TFRecord frame with valid CRCs (readable by TF itself)."""
+    header = struct.pack("<Q", len(payload))
+    return (header + struct.pack("<I", masked_crc32c(header))
+            + payload + struct.pack("<I", masked_crc32c(payload)))
 
 import numpy as np
 
@@ -26,18 +69,24 @@ logger = get_logger(__name__)
 # -- TFRecord framing -------------------------------------------------------
 
 def read_tfrecord_file(path: str) -> Iterator[bytes]:
-    """Yield raw record payloads from one TFRecord file."""
+    """Yield raw record payloads from one TFRecord file.
+
+    Uses the native CRC-validating reader when built; pure-python
+    (CRCs skipped) otherwise."""
+    if _tfrecord_native is not None:
+        yield from _tfrecord_native.read_records(path)
+        return
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            f.read(4)  # length crc (unverified)
+            f.read(4)  # length crc (unverified in the python fallback)
             payload = f.read(length)
             if len(payload) < length:
                 return
-            f.read(4)  # payload crc (unverified)
+            f.read(4)  # payload crc (unverified in the python fallback)
             yield payload
 
 
@@ -294,6 +343,4 @@ def write_fake_tfrecord(path: str, n: int = 1, image_hw=(64, 64)) -> None:
                 + entry("image/object/is_crowd", feature_ints([0]))
             )
             example = field(1, feats)
-            header = struct.pack("<Q", len(example))
-            # crc fields written as zeros (reader does not verify)
-            f.write(header + b"\x00" * 4 + example + b"\x00" * 4)
+            f.write(frame_record(example))

@@ -301,19 +301,34 @@ def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
     return sample, inside, region
 
 
-def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
-                      geom: PatchGeometry, key: jax.Array, *,
-                      noise_mag: float, brightness_mag: float,
-                      window: int, use_pallas: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sequential windowed composite of K slots into one [H, W, 3] image."""
-    h_img, w_img, _ = image.shape
-    k = geom.ymin.shape[0]
+def _composite_matmul_batch(images: jnp.ndarray, canvases: jnp.ndarray,
+                            geom: PatchGeometry, keys: jax.Array, *,
+                            noise_mag: float, brightness_mag: float,
+                            window: int, use_pallas: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential windowed composite of K slots over a whole batch.
+
+    The slot loop lives OUTSIDE the batch vmap so each iteration can be
+    skipped for the entire batch with a real `lax.cond` branch (a cond
+    under vmap executes both sides). NMS validity is a prefix mask — once
+    a candidate falls below score_thresh every later one does too
+    (ops/nms.py greedy loop) — so slot i is dead for the whole step iff no
+    image has > i valid boxes, which in the common regime (a handful of
+    persons per image, max_boxes 16) skips most of the K iterations'
+    warp + RNG work. Semantics identical: dead slots never wrote anything.
+
+    images [B,H,W,3]; canvases [B,P0,P0,3]; geom fields [B,K]; keys [B]
+    (the per-image composite keys).
+    """
+    b, h_img, w_img, _ = images.shape
+    k = geom.ymin.shape[1]
     wsz = window
 
-    k_noise, k_bright = jax.random.split(key)
-    bright = jax.random.uniform(k_bright, (k,), minval=-brightness_mag,
-                                maxval=brightness_mag)
+    split2 = jax.vmap(lambda kk: jax.random.split(kk))
+    ks = split2(keys)                       # [B, 2, key]
+    k_noise, k_bright = ks[:, 0], ks[:, 1]
+    bright = jax.vmap(lambda kk: jax.random.uniform(
+        kk, (k,), minval=-brightness_mag, maxval=brightness_mag))(k_bright)
 
     warp = _warp_window_pallas if use_pallas else _warp_window_matmul
 
@@ -327,18 +342,24 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
                        k_noise_i):
         sample, inside, region = warp(canvas_, oy, ox, geom_scalars, wsz)
         # fresh sensor noise per slot (attacker.py:427 draws per patch);
-        # regenerated in the bwd pass under the remat policy, never stored
-        noise = jax.random.uniform(k_noise_i, (wsz, wsz, 3),
+        # regenerated in the bwd pass under the remat policy, never stored.
+        # rbg impl: the hw RngBitGenerator is ~10x cheaper than threefry on
+        # TPU for these [w,w,3]-per-slot draws (measured ~20 ms/step at
+        # lite4@640 b24 window 320 with threefry); seeded from the folded
+        # threefry key so slots stay decorrelated.
+        kd = (k_noise_i if jnp.issubdtype(k_noise_i.dtype, jnp.integer)
+              else jax.random.key_data(k_noise_i))  # raw vs typed key
+        rbg = jax.random.wrap_key_data(
+            jnp.tile(kd.reshape(-1).astype(jnp.uint32), 2)[:4],
+            impl="unsafe_rbg")
+        noise = jax.random.uniform(rbg, (wsz, wsz, 3),
                                    minval=-noise_mag, maxval=noise_mag)
         val = jnp.clip(sample + noise + bright_i, -1.0, 1.0)
         use = (inside & ok)[..., None]
         return jnp.where(use, val, win), region
 
-    def body(i, state):
-        out, region_any = state
-        ymin, xmin = geom.ymin[i], geom.xmin[i]
-        ok = geom.valid[i]
-
+    def one_image_slot(out, region_any, canvas_, ymin, xmin, size, diag,
+                       angle, ok, bright_i, k_noise_img, i):
         # static window fully inside the image, containing the region
         oy = jnp.clip(jnp.floor(ymin), 0.0, float(h_img - wsz))
         ox = jnp.clip(jnp.floor(xmin), 0.0, float(w_img - wsz))
@@ -347,9 +368,8 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
 
         win = jax.lax.dynamic_slice(out, (oyi, oxi, 0), (wsz, wsz, 3))
         new_win, region = patched_window(
-            win, canvas,
-            (ymin, xmin, geom.size[i], geom.diag[i], geom.angle[i]),
-            oy, ox, bright[i], ok, jax.random.fold_in(k_noise, i))
+            win, canvas_, (ymin, xmin, size, diag, angle),
+            oy, ox, bright_i, ok, jax.random.fold_in(k_noise_img, i))
         out = jax.lax.dynamic_update_slice(out, new_win, (oyi, oxi, 0))
 
         reg_win = jax.lax.dynamic_slice(region_any, (oyi, oxi), (wsz, wsz))
@@ -357,7 +377,19 @@ def _composite_matmul(image: jnp.ndarray, canvas: jnp.ndarray,
             region_any, reg_win | (region & ok), (oyi, oxi))
         return out, region_any
 
-    init = (image, jnp.zeros((h_img, w_img), bool))
+    def slot_work(i, state):
+        out, region_any = state
+        return jax.vmap(one_image_slot, in_axes=(0,) * 11 + (None,))(
+            out, region_any, canvases, geom.ymin[:, i], geom.xmin[:, i],
+            geom.size[:, i], geom.diag[:, i], geom.angle[:, i],
+            geom.valid[:, i], bright[:, i], k_noise, i)
+
+    def body(i, state):
+        any_live = jnp.any(geom.valid[:, i])
+        return jax.lax.cond(any_live, lambda s: slot_work(i, s),
+                            lambda s: s, state)
+
+    init = (images, jnp.zeros((b, h_img, w_img), bool))
     return jax.lax.fori_loop(0, k, body, init)
 
 
@@ -492,7 +524,10 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
     keys = jax.random.split(key, b)
     max_region = float(window) if backend == "matmul" else None
 
-    def per_image(img, bxs, bval, k, own_patch):
+    def per_image_prep(img, bxs, bval, k, own_patch):
+        """Per-image canvas + geometry; the composite key is returned so the
+        batched composite derives the same per-image key chain as the
+        gather backend."""
         k_print, k_geom, k_comp = jax.random.split(k, 3)
         src = own_patch if own_patch is not None else patch
         printed = color.random_print_adjust(k_print, src)
@@ -504,22 +539,29 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
             k_geom, bxs, bval, scale, img_hw, tolerance=tolerance,
             min_patch_area=min_patch_area,
             random_scale_range=random_scale_range, max_region=max_region)
-        if backend in ("matmul", "pallas"):
-            small = downsample_canvas(canvas, min(canvas_res, canvas.shape[0]))
-            return _composite_matmul(img, small, geom, k_comp,
-                                     noise_mag=noise_mag,
-                                     brightness_mag=brightness_mag,
-                                     window=window,
-                                     use_pallas=(backend == "pallas"))
-        return _composite_gather(img, canvas, geom, k_comp,
-                                 noise_mag=noise_mag,
-                                 brightness_mag=brightness_mag)
+        return canvas, geom, k_comp
 
     if per_image_patches is not None:
-        return jax.vmap(per_image)(images, boxes, boxes_valid, keys,
-                                   per_image_patches)
-    return jax.vmap(lambda i, bx, bv, k: per_image(i, bx, bv, k, None))(
-        images, boxes, boxes_valid, keys)
+        prep = jax.vmap(per_image_prep)(images, boxes, boxes_valid, keys,
+                                        per_image_patches)
+    else:
+        prep = jax.vmap(
+            lambda i, bx, bv, k: per_image_prep(i, bx, bv, k, None))(
+                images, boxes, boxes_valid, keys)
+    canvases, geoms, k_comps = prep
+
+    if backend in ("matmul", "pallas"):
+        p0 = min(canvas_res, canvases.shape[1])
+        small = jax.vmap(lambda c: downsample_canvas(c, p0))(canvases)
+        return _composite_matmul_batch(images, small, geoms, k_comps,
+                                       noise_mag=noise_mag,
+                                       brightness_mag=brightness_mag,
+                                       window=window,
+                                       use_pallas=(backend == "pallas"))
+    return jax.vmap(functools.partial(_composite_gather,
+                                      noise_mag=noise_mag,
+                                      brightness_mag=brightness_mag))(
+        images, canvases, geoms, k_comps)
 
 
 def total_variation(img: jnp.ndarray) -> jnp.ndarray:

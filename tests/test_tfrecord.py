@@ -56,3 +56,54 @@ def test_parse_real_tf_example(tmp_path):
     assert np.allclose(parsed["image/object/bbox/ymin"], [0.25, 0.5])
     assert parsed["image/object/class/label"] == [7, 300]
     assert parsed["name"] == [b"hello"]
+
+
+def test_frame_record_crc_check_value():
+    from mladversarialobjectdetection_tpu.data import tfrecord as tfr
+    # CRC32C("123456789") = 0xE3069283 (the standard check value)
+    assert tfr._crc32c_py(b"123456789") == 0xE3069283
+    if tfr._tfrecord_native is not None:
+        assert tfr._tfrecord_native.crc32c(b"123456789") == 0xE3069283
+    # masked crc matches between implementations by construction
+    frame = tfr.frame_record(b"payload")
+    assert len(frame) == 8 + 4 + 7 + 4
+
+
+def test_native_reader_roundtrip_and_corruption(tmp_path):
+    import pytest as _pytest
+    from mladversarialobjectdetection_tpu.data import tfrecord as tfr
+    if tfr._tfrecord_native is None:
+        _pytest.skip("native extension not built (tools/build_native.sh)")
+    path = str(tmp_path / "x.tfrecord")
+    payloads = [b"a" * 10, b"hello world", b"z" * 1000]
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(tfr.frame_record(p))
+    assert tfr._tfrecord_native.read_records(path) == payloads
+    assert list(tfr.read_tfrecord_file(path)) == payloads
+    # corrupt one payload byte -> CRC failure raised, not garbage returned
+    blob = bytearray(open(path, "rb").read())
+    blob[8 + 4 + 2] ^= 0xFF
+    bad = str(tmp_path / "bad.tfrecord")
+    open(bad, "wb").write(bytes(blob))
+    with _pytest.raises(ValueError, match="CRC"):
+        tfr._tfrecord_native.read_records(bad)
+    # unverified read still works (opt-out)
+    assert len(tfr._tfrecord_native.read_records(bad, verify_crc=False)) == 3
+
+
+@pytest.mark.slow
+def test_tf_reads_our_tfrecords(tmp_path):
+    """Interop: TF's own (CRC-verifying) reader consumes our output —
+    zero-CRC frames would be rejected by tf.data."""
+    tf = pytest.importorskip("tensorflow")
+    from mladversarialobjectdetection_tpu.data.tfrecord import (
+        write_fake_tfrecord)
+    path = str(tmp_path / "ours.tfrecord")
+    write_fake_tfrecord(path, n=3, image_hw=(32, 32))
+    recs = list(tf.data.TFRecordDataset([path]))
+    assert len(recs) == 3
+    ex = tf.train.Example()
+    ex.ParseFromString(recs[0].numpy())
+    keys = set(ex.features.feature.keys())
+    assert "image/encoded" in keys and "image/object/bbox/ymin" in keys

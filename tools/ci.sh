@@ -4,6 +4,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "=== native extensions ==="
+./tools/build_native.sh
+
 echo "=== fast tier (default: pytest tests/) ==="
 python -m pytest tests/ -q
 
@@ -12,5 +15,8 @@ python -m pytest tests/ -q -m slow
 
 echo "=== multichip dryrun (8 virtual devices) ==="
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+echo "=== full-size multichip SPMD compile (lite4@640, ~5 min) ==="
+python -c "import __graft_entry__ as g; g.dryrun_multichip_full(8)"
 
 echo "CI green."
