@@ -223,6 +223,15 @@ def _warp_window_pallas(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
     return sample, inside, region
 
 
+def _warp_window_pallas2(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
+    """Pallas v2: channel-major FMA kernels (ops/pallas_warp2.py)."""
+    from . import pallas_warp2
+    p1s, p2s, radius = _warp_scalars(canvas.shape[0], oy, ox, geom_i)
+    sample = pallas_warp2.warp_window(canvas, p1s, p2s, radius, oy, ox, w)
+    inside, region = _inside_region_masks(oy, ox, geom_i, w)
+    return sample, inside, region
+
+
 def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
     """Sample the rotated+scaled canvas over a [w, w] window.
 
@@ -304,7 +313,7 @@ def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
 def _composite_matmul_batch(images: jnp.ndarray, canvases: jnp.ndarray,
                             geom: PatchGeometry, keys: jax.Array, *,
                             noise_mag: float, brightness_mag: float,
-                            window: int, use_pallas: bool = False
+                            window: int, use_pallas: str | bool = False
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequential windowed composite of K slots over a whole batch.
 
@@ -330,7 +339,8 @@ def _composite_matmul_batch(images: jnp.ndarray, canvases: jnp.ndarray,
     bright = jax.vmap(lambda kk: jax.random.uniform(
         kk, (k,), minval=-brightness_mag, maxval=brightness_mag))(k_bright)
 
-    warp = _warp_window_pallas if use_pallas else _warp_window_matmul
+    warp = {False: _warp_window_matmul, "pallas": _warp_window_pallas,
+            "pallas2": _warp_window_pallas2}[use_pallas]
 
     # remat policy: the enormous hat-weight tensors (pure functions of four
     # scalars) are regenerated in the backward pass instead of stored
@@ -522,7 +532,7 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         window = default_window(img_hw)
     window = min(window, img_hw[0], img_hw[1])
     keys = jax.random.split(key, b)
-    max_region = float(window) if backend == "matmul" else None
+    max_region = None if backend == "gather" else float(window)
 
     def per_image_prep(img, bxs, bval, k, own_patch):
         """Per-image canvas + geometry; the composite key is returned so the
@@ -550,14 +560,15 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                 images, boxes, boxes_valid, keys)
     canvases, geoms, k_comps = prep
 
-    if backend in ("matmul", "pallas"):
+    if backend in ("matmul", "pallas", "pallas2"):
         p0 = min(canvas_res, canvases.shape[1])
         small = jax.vmap(lambda c: downsample_canvas(c, p0))(canvases)
         return _composite_matmul_batch(images, small, geoms, k_comps,
                                        noise_mag=noise_mag,
                                        brightness_mag=brightness_mag,
                                        window=window,
-                                       use_pallas=(backend == "pallas"))
+                                       use_pallas=(False if backend == "matmul"
+                                                   else backend))
     return jax.vmap(functools.partial(_composite_gather,
                                       noise_mag=noise_mag,
                                       brightness_mag=brightness_mag))(

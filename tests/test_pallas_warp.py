@@ -67,3 +67,54 @@ def test_pass_kernels_identity_transform():
     assert np.allclose(np.asarray(t), np.asarray(src), atol=1e-5)
     out = pallas_warp.pass2_fwd(t, one, zero, zero, one, p0)
     assert np.allclose(np.asarray(out), np.asarray(src), atol=1e-5)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode_v2():
+    from mladversarialobjectdetection_tpu.ops import pallas_warp2
+    old = pallas_warp2._INTERPRET
+    pallas_warp2._INTERPRET = True
+    yield
+    pallas_warp2._INTERPRET = old
+
+
+def test_pallas2_matches_matmul_forward():
+    """v2 channel-major FMA kernels == matmul backend (bf16-noise tol)."""
+    key, imgs, bx, bv, patch = _setup()
+    out_m, reg_m = eot.apply_patches(key, imgs, bx, bv, patch, 0.5,
+                                     backend="matmul", canvas_res=32)
+    out_p, reg_p = eot.apply_patches(key, imgs, bx, bv, patch, 0.5,
+                                     backend="pallas2", canvas_res=32)
+    assert bool(jnp.array_equal(reg_m, reg_p))
+    assert float(jnp.abs(out_m - out_p).max()) < 0.02
+
+
+def test_pallas2_gradients_match():
+    key, imgs, bx, bv, patch = _setup()
+
+    def loss(p, backend):
+        out, _ = eot.apply_patches(key, imgs, bx, bv, p, 0.5,
+                                   backend=backend, canvas_res=32)
+        return jnp.sum(out ** 2)
+
+    g_m = jax.grad(lambda p: loss(p, "matmul"))(patch)
+    g_p = jax.grad(lambda p: loss(p, "pallas2"))(patch)
+    scale = float(jnp.abs(g_m).max()) + 1e-9
+    assert float(jnp.abs(g_m - g_p).max()) / scale < 0.02
+
+
+def test_pallas2_kernels_direct():
+    """Direct kernel check vs the matmul warp at a non-pow2 window (tile
+    picker path) and rotated geometry."""
+    from mladversarialobjectdetection_tpu.ops import pallas_warp2 as pw2
+    p0, w = 96, 160
+    rng = np.random.RandomState(0)
+    canvas = jnp.asarray(rng.uniform(-1, 1, (p0, p0, 3)).astype(np.float32))
+    geom_i = (jnp.float32(10.0), jnp.float32(20.0), jnp.float32(100.0),
+              jnp.float32(141.0), jnp.float32(-0.3))
+    oy, ox = jnp.float32(8.0), jnp.float32(16.0)
+    ref, inside, _ = eot._warp_window_matmul(canvas, oy, ox, geom_i, w)
+    p1s, p2s, radius = eot._warp_scalars(p0, oy, ox, geom_i)
+    out = pw2.warp_window(canvas, p1s, p2s, radius, oy, ox, w)
+    d = np.abs(np.asarray(out) - np.asarray(ref))[np.asarray(inside)]
+    assert d.max() < 0.02
