@@ -135,7 +135,8 @@ class PatchAttacker:
         k = min(self.pre_nms_topk, masked_scores.shape[1])
         top_scores, top_idx = jax.lax.top_k(masked_scores, k)
         top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-        res = nms_ops.batched_nms(top_boxes, top_scores, **self.nms_kwargs)
+        res = nms_ops.batched_nms_auto(top_boxes, top_scores,
+                                       **self.nms_kwargs)
         clipped = postprocess.clip_boxes(res.boxes, self.image_hw)
         return clipped, res.scores, res.valid
 

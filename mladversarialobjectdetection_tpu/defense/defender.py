@@ -94,7 +94,7 @@ class PatchAttackDefender:
         kw = dict(self.nms_kwargs)
         if score_thresh is not None:
             kw["score_thresh"] = score_thresh
-        res = nms_ops.batched_nms(top_boxes, top_scores, **kw)
+        res = nms_ops.batched_nms_auto(top_boxes, top_scores, **kw)
         nms_boxes = postprocess.clip_boxes(res.boxes, self.image_hw)
         # post-NMS validity filter (attack_detection.py:123-127)
         cond = filter_valid_boxes(

@@ -125,3 +125,15 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, **kwargs) -> NMSResult:
     """vmap of nms_padded over a leading batch dim. boxes [B,N,4], scores [B,N]."""
     fn = functools.partial(nms_padded, **kwargs)
     return jax.vmap(fn)(boxes, scores)
+
+
+def batched_nms_auto(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     **kwargs) -> NMSResult:
+    """batched_nms, routed through the single-kernel pallas suppression
+    loop on TPU (ops/pallas_nms.py; selection-identical, ~25% faster at
+    B24/N256/M100). Non-differentiable — callers consume NMS outputs
+    under stop_gradient (parity with the reference, attacker.py:91-116)."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_nms
+        return pallas_nms.batched_nms_pallas(boxes, scores, **kwargs)
+    return batched_nms(boxes, scores, **kwargs)

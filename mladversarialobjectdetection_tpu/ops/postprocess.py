@@ -111,7 +111,7 @@ def postprocess_global(params, cls_outputs, box_outputs,
     top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
 
     kw = nms_kwargs_from_config(nms_cfg)
-    res = nms_ops.batched_nms(top_boxes, top_scores, **kw)
+    res = nms_ops.batched_nms_auto(top_boxes, top_scores, **kw)
     out_boxes = clip_boxes(res.boxes, params["image_size"])
     out_classes = (jnp.take_along_axis(top_classes, res.indices, axis=1)
                    + CLASS_OFFSET) * res.valid
@@ -152,7 +152,7 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
     shifted = top_boxes + (top_classes[..., None].astype(top_boxes.dtype)
                            * offset)
     kw = nms_kwargs_from_config(nms_cfg)
-    res = nms_ops.batched_nms(shifted, top_scores, **kw)
+    res = nms_ops.batched_nms_auto(shifted, top_scores, **kw)
     sel_classes = jnp.take_along_axis(top_classes, res.indices, axis=1)
     out_boxes = res.boxes - (sel_classes[..., None].astype(res.boxes.dtype)
                              * offset) * res.valid[..., None]
@@ -217,7 +217,7 @@ def postprocess_combined(params, cls_outputs, box_outputs,
         top_boxes.dtype)
     shifted = top_boxes + (top_classes[..., None].astype(top_boxes.dtype)
                            * offset)
-    res = nms_ops.batched_nms(shifted, top_scores, method="hard",
+    res = nms_ops.batched_nms_auto(shifted, top_scores, method="hard",
                               iou_thresh=0.5, score_thresh=score_thresh,
                               max_output_size=max_out)
     sel_classes = jnp.take_along_axis(top_classes, res.indices, axis=1)
@@ -312,7 +312,7 @@ def postprocess_tflite(params, cls_outputs, box_outputs) -> Detections:
     top_boxes = jnp.take_along_axis(dec_boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(cls_ids, top_idx, axis=1)
 
-    res = nms_ops.batched_nms(top_boxes, top_scores, method="hard",
+    res = nms_ops.batched_nms_auto(top_boxes, top_scores, method="hard",
                               iou_thresh=iou_thresh,
                               score_thresh=score_thresh,
                               max_output_size=max_det)
