@@ -109,6 +109,10 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
 
 def main():
     import os
+
+    from mladversarialobjectdetection_tpu.utils.debug import (
+        enable_compilation_cache)
+    enable_compilation_cache()  # reuse compiled programs across bench runs
     ips = bench_attack_train(verbose=bool(os.environ.get("BENCH_VERBOSE")))
     print(json.dumps({
         "metric": "attack_train_images_per_sec_per_chip_lite4_640",

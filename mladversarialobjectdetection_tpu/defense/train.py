@@ -146,6 +146,8 @@ def train(model_name: str = "efficientdet-lite4", *,
 
 
 def main():
+    from ..utils.debug import enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache across runs
     p = argparse.ArgumentParser(description="patch-attack defender training")
     p.add_argument("--model", default="efficientdet-lite4")
     p.add_argument("--img-dir", default=None)

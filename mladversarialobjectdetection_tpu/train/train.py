@@ -149,6 +149,8 @@ def train(model_name: str = "efficientdet-d0", *,
 
 
 def main():
+    from ..utils.debug import enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache across runs
     p = argparse.ArgumentParser(description="supervised detector training")
     p.add_argument("--model", default="efficientdet-d0")
     p.add_argument("--train-pattern", default=None)

@@ -9,6 +9,7 @@ the ServingDriver benchmark/trace harness (infer_lib.py:181-206).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Iterator, Optional
 
@@ -17,6 +18,33 @@ import jax
 from .log import get_logger
 
 logger = get_logger(__name__)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Persistent XLA compilation cache (ROADMAP #9).
+
+    First compiles of the lite4@640 programs take 20-40+ s per process on
+    TPU; the persistent cache makes every later process (re-run driver,
+    bench, demo) hit disk instead. Called by the CLI drivers and bench.
+
+    Resolution order: explicit arg > $MAD_COMPILE_CACHE_DIR >
+    ~/.cache/mladversarialobjectdetection_tpu/xla. Set MAD_COMPILE_CACHE_DIR=0
+    to disable. Returns the directory used (None if disabled/unsupported).
+    """
+    env = os.environ.get("MAD_COMPILE_CACHE_DIR")
+    if env in ("0", "off", "none"):
+        return None
+    d = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "mladversarialobjectdetection_tpu", "xla")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache everything: small entries are cheap and the win is per-process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (RuntimeError, OSError, AttributeError) as exc:
+        logger.warning(f"compilation cache unavailable: {exc}")
+        return None
+    return d
 
 
 def enable_debug(nans: bool = True, disable_jit: bool = False) -> None:
