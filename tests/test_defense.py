@@ -29,6 +29,7 @@ def test_train_step(defender, rand_images):
     assert int(st2.step) == 1
 
 
+@pytest.mark.slow
 def test_eval_step(defender, rand_images):
     st = defender.init_state(jax.random.PRNGKey(0))
     m = jax.jit(defender.eval_step)(st, rand_images)

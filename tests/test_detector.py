@@ -69,6 +69,7 @@ def test_detector_infer_end_to_end(tiny_cfg):
         assert 0.0 <= s <= 1.0
 
 
+@pytest.mark.slow
 def test_detector_per_class_mode():
     from mladversarialobjectdetection_tpu.inference.detector import Detector
     det = Detector(model_name="efficientdet-lite0", post_mode="per_class",

@@ -26,6 +26,7 @@ def _assert_matches(out, ref, atol_box=1e-3):
                           np.asarray(ref.valid_len))
 
 
+@pytest.mark.slow
 def test_stablehlo_driver_reserves_export(tmp_path):
     """Detector.export('stablehlo') -> StableHloDriver.serve == live serve
     (the reference's export -> re-serve story, infer_lib.py:120-135)."""

@@ -123,6 +123,7 @@ def test_pallas_bwd_matches_xla_grad(C, Co, k, expand, H, W, residual):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_dispatch_fused_xla():
     """EfficientNet with spec.fused='xla' matches the stock path at eval."""
     from mladversarialobjectdetection_tpu.models.efficientnet import (

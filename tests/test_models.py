@@ -96,6 +96,7 @@ def test_unet_shapes_and_range():
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_unet_batchnorm_updates():
     net = unet.PatchNeutralizer(n_filters=4)
     x = jnp.ones((2, 32, 32, 3))

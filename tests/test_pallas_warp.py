@@ -41,6 +41,7 @@ def test_pallas_matches_matmul_forward():
     assert float(jnp.abs(out_m - out_p).max()) < 5e-3
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match():
     key, imgs, bx, bv, patch = _setup()
 
@@ -89,6 +90,7 @@ def test_pallas2_matches_matmul_forward():
     assert float(jnp.abs(out_m - out_p).max()) < 0.02
 
 
+@pytest.mark.slow
 def test_pallas2_gradients_match():
     key, imgs, bx, bv, patch = _setup()
 

@@ -40,6 +40,7 @@ def test_reader_batches(tmp_path):
     assert batch["classes"][0, 0] == 0  # 1-based label -> 0-based model id
 
 
+@pytest.mark.slow
 def test_parse_real_tf_example(tmp_path):
     """Cross-check the wire-format parser against TensorFlow's own
     serializer when TF is available."""

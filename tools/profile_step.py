@@ -25,14 +25,18 @@ import jax.numpy as jnp
 
 def fenced(fn, *args, n=8):
     # two warm fenced calls: the first can absorb leftover device-queue work
-    # on this platform and report garbage (see BENCH_NOTES.md)
+    # on this platform and report garbage (see BENCH_NOTES.md). The fence
+    # reduces ON DEVICE first — np.asarray on a [B,H,W,C] activation would
+    # download it through the tunnel and corrupt the timing.
+    def fence(out):
+        return float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+
     for _i in range(2):
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+        fence(fn(*args))
     t0 = time.perf_counter()
     for _i in range(n):
         out = fn(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+    fence(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -79,8 +83,10 @@ def main(model_name="efficientdet-lite4", image_size=None, batch=12,
     print(f"model {model_name} @ {hw} batch {batch} "
           f"bias_detections={bias_detections}", flush=True)
 
-    fwd = jax.jit(lambda v, xx: net.apply(v, xx, False))
-    print(f"detector fwd:        {fenced(fwd, variables, x)*1e3:7.1f} ms",
+    # close over variables: argument-passed weights re-upload through the
+    # tunnel on every call on this platform (see BENCH_NOTES.md)
+    fwd = jax.jit(lambda xx: net.apply(variables, xx, False))
+    print(f"detector fwd:        {fenced(fwd, x)*1e3:7.1f} ms",
           flush=True)
 
     attacker = PatchAttacker(cfg, variables, window=320)
