@@ -14,22 +14,25 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
-# tf.image.rgb_to_yuv coefficients
-_RGB2YUV = jnp.array([
+# tf.image.rgb_to_yuv coefficients. Plain NUMPY at module scope: this
+# module may be first imported from inside an active jit trace (lazy
+# imports in model code), and creating jax arrays at import time inside a
+# trace raises TracerArrayConversionError. _apply_color_matrix folds the
+# coefficients as python floats anyway.
+_RGB2YUV = _np.array([
     [0.299, -0.14714119, 0.61497538],
     [0.587, -0.28886916, -0.51496512],
     [0.114, 0.43601035, -0.10001026],
-], dtype=jnp.float32)
+], dtype=_np.float32)
 
 # exact inverse (tf's published yuv_to_rgb kernel is only a ~3-decimal
 # approximation of it; the exact inverse keeps roundtrips lossless).
-# computed in numpy at import: images are row-vectors (img @ M), so the
-# inverse map uses plain matrix inverse.
-import numpy as _np  # noqa: E402
-
-_YUV2RGB = jnp.asarray(_np.linalg.inv(_np.asarray(_RGB2YUV, _np.float64))
-                       .astype(_np.float32))
+# Images are row-vectors (img @ M), so the inverse map uses plain matrix
+# inverse.
+_YUV2RGB = _np.linalg.inv(_np.asarray(_RGB2YUV, _np.float64)).astype(
+    _np.float32)
 
 
 def _apply_color_matrix(img: jnp.ndarray, m) -> jnp.ndarray:

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -32,6 +33,42 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_hybrid_mesh(dcn_size: Optional[int] = None,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ('dcn', 'data') mesh for multi-host data parallelism.
+
+    The scaling-book recipe: the outer axis spans hosts (slow DCN links),
+    the inner axis spans the chips of each host (fast ICI), with devices
+    ordered host-major so XLA's hierarchical all-reduce keeps the heavy
+    per-host reduction on ICI and only the per-host partials cross DCN.
+    For pure data parallelism the batch shards over BOTH axes
+    (`batch_sharding` handles multi-axis meshes); parameters/state stay
+    replicated, so the only cross-host traffic is the gradient psum.
+
+    On a real multi-host deployment call `jax.distributed.initialize()`
+    first; `dcn_size` defaults to `jax.process_count()`. A 1-host/1-process
+    environment (including the fake CPU mesh used in tests) can pass
+    `dcn_size` explicitly to exercise the hybrid layout virtually.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dcn_size is None:
+        dcn_size = max(1, jax.process_count())
+    if n % dcn_size != 0:
+        raise ValueError(f"{n} devices not divisible into dcn_size={dcn_size}")
+    if jax.process_count() > 1:
+        # real multi-host: use the topology-aware layout
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, n // dcn_size), (dcn_size, 1), devices=devices)
+    else:
+        # jax.devices() is process-major already; reshape keeps each host's
+        # chips contiguous on the inner axis
+        dev_array = np.asarray(devices).reshape(dcn_size, n // dcn_size)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS))
+
+
 def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     """Largest data-parallel mesh whose size divides the global batch."""
     devices = jax.devices()
@@ -41,17 +78,22 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard dim 0 (batch) over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Shard dim 0 (batch) over the mesh — over ALL axes of a hybrid
+    ('dcn', 'data') mesh, so each device holds batch/n_devices images."""
+    if axis_name is not None:
+        return NamedSharding(mesh, P(axis_name))
+    names = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(names if len(names) > 1 else names[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Device_put a host batch with the leading dim sharded over the mesh."""
+def shard_batch(mesh: Mesh, batch, axis_name: Optional[str] = None):
+    """Device_put a host batch with the leading dim sharded over the mesh
+    (all mesh axes by default — see batch_sharding)."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -159,3 +159,36 @@ def test_fused_weight_grad_raises():
 
     with pytest.raises(Exception):
         jax.grad(loss)(fb.we)
+
+
+def test_ops_import_inside_trace_subprocess():
+    """Regression: the ops package must be importable from INSIDE a jit
+    trace (the fused dispatch imports it lazily at apply time). ops
+    modules therefore must not create jax arrays at import time
+    (ops/color.py once did -> TracerArrayConversionError)."""
+    import subprocess
+    import sys
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from mladversarialobjectdetection_tpu.models.efficientnet import (\n"
+        "    BlockArgs, BackboneSpec, MBConvBlock)\n"
+        "import sys\n"
+        "assert not any('mladversarialobjectdetection_tpu.ops' == m\n"
+        "               for m in sys.modules), 'ops already imported'\n"
+        "ba = BlockArgs(kernel_size=3, num_repeat=1, input_filters=8,\n"
+        "               output_filters=8, expand_ratio=6, id_skip=True,\n"
+        "               se_ratio=None, strides=(1, 1))\n"
+        "spec = BackboneSpec(blocks=(), stem_filters=8, act_type='relu6',\n"
+        "                    use_se=False, bn_momentum=0.99, bn_epsilon=1e-3,\n"
+        "                    survival_prob=None, fused='xla')\n"
+        "blk = MBConvBlock(ba, spec)\n"
+        "x = jnp.ones((1, 16, 16, 8))\n"
+        "v = blk.init({'params': jax.random.PRNGKey(0)}, x, training=False)\n"
+        "y = jax.jit(lambda xx: blk.apply(v, xx, training=False))(x)\n"
+        "print('ok', y.shape)\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok" in r.stdout

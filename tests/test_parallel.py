@@ -50,3 +50,36 @@ def test_attack_step_on_mesh(tiny_detector, rand_images):
     assert float(m_out.loss) == pytest.approx(float(m_ref.loss), rel=1e-4)
     # state stays replicated
     assert st_out.patch.sharding.is_fully_replicated
+
+
+def test_hybrid_mesh_layout():
+    """2x4 ('dcn','data') mesh: batch shards over all 8 devices."""
+    from mladversarialobjectdetection_tpu.parallel import make_hybrid_mesh
+    mesh = make_hybrid_mesh(dcn_size=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("dcn", "data")
+    x = np.zeros((16, 8, 8, 3), np.float32)
+    sx = shard_batch(mesh, x)
+    assert sx.addressable_shards[0].data.shape == (2, 8, 8, 3)
+    assert len({s.device for s in sx.addressable_shards}) == 8
+
+
+@pytest.mark.slow
+def test_attack_step_on_hybrid_mesh(tiny_detector, rand_images):
+    """Multi-host-shaped DP: the hierarchical (dcn, ici) gradient reduction
+    must produce the same patch update as a flat 1-D mesh."""
+    from mladversarialobjectdetection_tpu.parallel import make_hybrid_mesh
+    cfg, spec, net, variables = tiny_detector
+    images = jnp.concatenate([rand_images] * 4, axis=0)  # batch 8
+
+    def run(mesh):
+        attacker = PatchAttacker(cfg, replicate(mesh, variables),
+                                 patch_size=32)
+        st = replicate(mesh, attacker.init_state(jax.random.PRNGKey(0)))
+        st_out, m = jax.jit(attacker.train_step)(st, shard_batch(mesh, images))
+        return np.asarray(st_out.patch), float(m.loss)
+
+    p_flat, l_flat = run(make_mesh())
+    p_hyb, l_hyb = run(make_hybrid_mesh(dcn_size=2))
+    assert l_hyb == pytest.approx(l_flat, rel=1e-5)
+    assert np.allclose(p_hyb, p_flat, atol=1e-6)
