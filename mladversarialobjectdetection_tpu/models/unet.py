@@ -111,27 +111,38 @@ class PatchNeutralizer(nn.Module):
     dropout: float = 0.2
     batchnorm: bool = True
     dtype: Optional[object] = None
+    # remat: recompute each block (incl. its dropout masks, replayed from
+    # the same rng) in the backward pass instead of storing activations.
+    # A MEMORY knob, not a speed knob: measured at 640x640/b24 bf16 the
+    # rematted fwd+bwd moves MORE bytes (194 vs 134 GB, 315 vs 219 ms —
+    # BENCH_NOTES.md) because the recompute re-reads block inputs and
+    # redoes the BN-stats passes; use only when activations don't fit.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        conv_block, deconv_block = ConvBlock, DeconvBlock
+        if self.remat:
+            conv_block = nn.remat(ConvBlock, static_argnums=(2,))
+            deconv_block = nn.remat(DeconvBlock, static_argnums=(3,))
         if self.dtype is not None:
             x = x.astype(self.dtype)
         skips = []
         for i in range(4):
-            skip, x = ConvBlock(self.n_filters * (2 ** i),
-                                batchnorm=self.batchnorm,
-                                dropout=self.dropout, dtype=self.dtype,
-                                name=f"conv{i}")(x, training)
+            skip, x = conv_block(self.n_filters * (2 ** i),
+                                 batchnorm=self.batchnorm,
+                                 dropout=self.dropout, dtype=self.dtype,
+                                 name=f"conv{i}")(x, training)
             skips.append(skip)
-        x = ConvBlock(self.n_filters * (2 ** 4), batchnorm=self.batchnorm,
-                      maxpool=False, dtype=self.dtype,
-                      name="conv4")(x, training)
+        x = conv_block(self.n_filters * (2 ** 4), batchnorm=self.batchnorm,
+                       maxpool=False, dtype=self.dtype,
+                       name="conv4")(x, training)
         m = 8
         for i, skip in enumerate(reversed(skips)):
-            x = DeconvBlock(int(self.n_filters * m),
-                            dropout=self.dropout,
-                            batchnorm=self.batchnorm, dtype=self.dtype,
-                            name=f"deconv{i}")(x, skip, training)
+            x = deconv_block(int(self.n_filters * m),
+                             dropout=self.dropout,
+                             batchnorm=self.batchnorm, dtype=self.dtype,
+                             name=f"deconv{i}")(x, skip, training)
             m /= 2
         x = nn.Conv(3, (1, 1), kernel_init=_he_init, dtype=self.dtype,
                     name="output")(x)

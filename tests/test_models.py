@@ -107,3 +107,25 @@ def test_unet_batchnorm_updates():
     leaves0 = jax.tree.leaves(variables["batch_stats"])
     leaves1 = jax.tree.leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+def test_unet_remat_equivalence():
+    """remat=True must be bit-identical to remat=False (same dropout rng
+    replay) in eval forward AND train-mode input gradients."""
+    from mladversarialobjectdetection_tpu.models.unet import PatchNeutralizer
+    u0 = PatchNeutralizer(n_filters=4)
+    u1 = PatchNeutralizer(n_filters=4, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = u0.init({"params": jax.random.PRNGKey(1)}, x[:1], False)
+
+    def loss(u, xx):
+        y, _ = u.apply(v, xx, True, rngs={"dropout": jax.random.PRNGKey(3)},
+                       mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda xx: loss(u0, xx))(x)
+    g1 = jax.grad(lambda xx: loss(u1, xx))(x)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    y0 = u0.apply(v, x, False)
+    y1 = u1.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
