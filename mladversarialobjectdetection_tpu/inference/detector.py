@@ -134,3 +134,29 @@ class Detector:
         thresh = self.config.nms_configs.score_thresh or 0.0
         bb, sc = draw.filter_by_thresh(bb, sc, thresh)
         return draw.draw_boxes(frame, bb, sc)
+
+    def serve_streams(self, streams):
+        """Serve several frame sources through ONE batched program.
+
+        TPU-native multi-stream serving (the reference runs one stream
+        per Detector): the batch dimension is pinned to len(streams) so
+        the serve program compiles exactly once; when a stream ends early
+        its slot is padded with the last frame and the result masked out.
+        Yields per tick a list of length len(streams) whose entries are
+        per-stream Detections (leading dim stripped) or None for ended
+        streams.
+        """
+        from .streaming import MultiStream
+        n = len(streams)
+        pad = None
+        for indices, frames in MultiStream(streams).play():
+            pad = frames[0] if pad is None else pad
+            batch = [None] * n
+            for i, f in zip(indices, frames):
+                batch[i] = f
+            # serve() preprocesses per frame, so mixed raw sizes are fine
+            det = self.serve([f if f is not None else pad for f in batch])
+            out = [None] * n
+            for i in indices:
+                out[i] = jax.tree.map(lambda a: a[i], det)
+            yield out

@@ -75,3 +75,35 @@ class Stream:
             yield from self.play_from_list()
         else:
             yield from self.play_from_video()
+
+
+class MultiStream:
+    """Zip several Streams into per-tick frame batches for batched serving.
+
+    The reference serves one stream per process (streaming.py feeds one
+    Detector); on TPU the serve program's cost is dominated by fixed
+    per-call overheads at batch 1 (BENCH_NOTES.md: lite4 b1 5.0 ms vs b8
+    14.1 ms => 2.8x throughput), so >1 stream should ride one batched
+    call. Yields (indices, frames): the list of source indices still
+    alive this tick and their frames. Ends when every source is
+    exhausted.
+    """
+
+    def __init__(self, streams):
+        self.streams = list(streams)
+
+    def play(self):
+        iters = [s.play() for s in self.streams]
+        alive = [True] * len(iters)
+        while any(alive):
+            indices, frames = [], []
+            for i, it in enumerate(iters):
+                if not alive[i]:
+                    continue
+                try:
+                    frames.append(next(it))
+                    indices.append(i)
+                except StopIteration:
+                    alive[i] = False
+            if indices:
+                yield indices, frames

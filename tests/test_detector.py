@@ -84,3 +84,43 @@ def test_detector_per_class_mode():
     assert out.boxes.shape == (1, 16, 4)
     # per-class declassified boxes stay inside the (scaled) frame
     assert float(out.boxes.max()) <= 64 + 1e-3
+
+
+def test_serve_streams_batched(tmp_path):
+    """Multi-stream batched serving: per-stream results equal single-frame
+    serving; ended streams yield None while others continue."""
+    from PIL import Image
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.inference.streaming import Stream
+
+    rng = np.random.default_rng(3)
+    dirs = []
+    for n in (3, 1):  # stream 1 ends after the first tick
+        d = tmp_path / f"s{n}"
+        d.mkdir()
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+                            ).save(d / f"{i:02d}.png")
+        dirs.append(str(d))
+
+    det = Detector(model_name="efficientdet-lite0",
+                   params={"image_size": 64, "fpn_num_filters": 16,
+                           "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                           "nms_configs": {"score_thresh": 0.0,
+                                           "pre_nms_topk": 64,
+                                           "max_output_size": 16}})
+    streams = [Stream(d, frame_delay=0, set_width=64) for d in dirs]
+    ticks = list(det.serve_streams(streams))
+    assert len(ticks) == 3
+    # tick 0: both live; later ticks: stream 1 ended
+    assert ticks[0][0] is not None and ticks[0][1] is not None
+    assert ticks[1][1] is None and ticks[2][1] is None
+    assert ticks[1][0] is not None
+
+    # per-stream results must match single-frame serving of the same frame
+    frame0 = next(Stream(dirs[0], frame_delay=0, set_width=64).play())
+    solo = det.serve(np.asarray(frame0)[None])
+    np.testing.assert_allclose(ticks[0][0].scores, solo.scores[0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ticks[0][0].boxes, solo.boxes[0],
+                               rtol=1e-4, atol=1e-3)
