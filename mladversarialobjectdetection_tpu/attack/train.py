@@ -38,6 +38,11 @@ logger = get_logger(__name__)
 def get_victim_variables(config, ckpt_path=None, *, seed: int = 0):
     """Build (and optionally restore) the frozen victim detector variables.
 
+    `ckpt_path` may be a native pytree checkpoint OR a reference TF1
+    name-based checkpoint (dir or prefix — the downloaded GCS tarball);
+    TF checkpoints are detected and converted on the fly (EMA shadows
+    preferred, ckpt/convert_tf.py).
+
     Reference: util.get_victim_model (util.py:177-189) + restore_ckpt."""
     spec = spec_from_config(config)
     net = EfficientDetNet(spec)
@@ -45,9 +50,17 @@ def get_victim_variables(config, ckpt_path=None, *, seed: int = 0):
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(seed)}, dummy, training=False)
     if ckpt_path:
-        restored = ckpt_io.load_pytree(ckpt_path)
-        variables = jax.tree.map(lambda _, r: r, variables, restored)
-        logger.info(f"restored victim detector from {ckpt_path}")
+        from ..ckpt import convert_tf
+        tf_prefix = convert_tf.find_tf_checkpoint(ckpt_path)
+        if tf_prefix:
+            tf_weights = convert_tf.load_tf_checkpoint(tf_prefix)
+            variables = convert_tf.convert_tf_weights(
+                tf_weights, config, spec, variables)
+            logger.info(f"converted TF victim checkpoint {tf_prefix}")
+        else:
+            restored = ckpt_io.load_pytree(ckpt_path)
+            variables = jax.tree.map(lambda _, r: r, variables, restored)
+            logger.info(f"restored victim detector from {ckpt_path}")
     return variables
 
 

@@ -28,6 +28,39 @@ from typing import Callable, Dict
 import numpy as np
 
 
+def find_tf_checkpoint(path: str):
+    """Return the TF checkpoint prefix if `path` points at a TF1
+    name-based checkpoint, else None.
+
+    Accepts: a checkpoint prefix (`.../model` with `model.index` beside
+    it), or a directory containing either a `checkpoint` state file
+    (reference GCS tarball layout, util.py:76-88) or `*.index` files.
+    Lets the drivers take the reference's downloaded checkpoints
+    directly (auto-converting on load) without a separate conversion
+    run. No TF import needed for the detection itself.
+    """
+    import glob
+    import os
+
+    if os.path.isfile(path + ".index"):
+        return path
+    if os.path.isdir(path):
+        state = os.path.join(path, "checkpoint")
+        if os.path.isfile(state):
+            m = re.search(r'model_checkpoint_path:\s*"([^"]+)"',
+                          open(state).read())
+            if m:
+                p = m.group(1)
+                if not os.path.isabs(p):
+                    p = os.path.join(path, p)
+                if os.path.isfile(p + ".index"):
+                    return p
+        idx = sorted(glob.glob(os.path.join(path, "*.index")))
+        if idx:
+            return idx[-1][:-len(".index")]
+    return None
+
+
 def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a TF checkpoint into {var_name: ndarray} (no ':0' suffixes).
 

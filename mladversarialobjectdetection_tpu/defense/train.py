@@ -33,11 +33,16 @@ def train(model_name: str = "efficientdet-lite4", *,
           epochs: int = 200, lr: float = 1e-2,
           steps_per_epoch: int | None = None,
           initial_weights: str | None = None, synthetic: bool = False,
-          image_size=None, seed: int = 43, config_override=None):
+          image_size=None, seed: int = 43, config_override=None,
+          bf16: bool = False):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
         config.image_size = image_size
+    if bf16:
+        # bf16 activations for the frozen detector AND the U-Net compute
+        # dtype (defender.py reads config.mixed_precision); fp32 params
+        config.mixed_precision = True
     if config_override:
         config.update(config_override)
 
@@ -163,6 +168,9 @@ def main():
     p.add_argument("--initial-weights", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations for detector + U-Net (fp32 "
+                        "params); fp32 is the default here")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, eval_patch=args.eval_patch,
@@ -170,7 +178,7 @@ def main():
           epochs=args.epochs, lr=args.lr,
           steps_per_epoch=args.steps_per_epoch,
           initial_weights=args.initial_weights, synthetic=args.synthetic,
-          image_size=args.image_size)
+          image_size=args.image_size, bf16=args.bf16)
 
 
 if __name__ == "__main__":

@@ -55,9 +55,18 @@ class Detector:
         self.variables = jax.jit(self.net.init, static_argnames=("training",))(
             {"params": jax.random.PRNGKey(seed)}, dummy, training=False)
         if ckpt_path:
-            restored = ckpt_io.load_pytree(ckpt_path)
-            self.variables = jax.tree.map(lambda _, r: r, self.variables,
-                                          restored)
+            from ..ckpt import convert_tf
+            tf_prefix = convert_tf.find_tf_checkpoint(ckpt_path)
+            if tf_prefix:
+                # a reference TF1 checkpoint (downloaded tarball): convert
+                # on the fly, EMA shadows preferred (util_keras.py:108-203)
+                tf_weights = convert_tf.load_tf_checkpoint(tf_prefix)
+                self.variables = convert_tf.convert_tf_weights(
+                    tf_weights, self.config, self.spec, self.variables)
+            else:
+                restored = ckpt_io.load_pytree(ckpt_path)
+                self.variables = jax.tree.map(lambda _, r: r, self.variables,
+                                              restored)
         self._params_dict = self.config.as_dict()
         self._serve = jax.jit(self._serve_impl)
 

@@ -255,3 +255,68 @@ def test_file_restore_d0(tf_env, tmp_path_factory):
                                  + list(zip(ref_box, our_box))):
         diff = np.abs(np.asarray(r) - np.asarray(o)).max()
         assert diff < 5e-4, f"level {lvl}: max diff {diff}"
+
+
+def test_find_tf_checkpoint_detection(tmp_path):
+    """Fast detection unit test (no TF needed): prefix, dir-with-state,
+    dir-with-index, and negatives."""
+    from mladversarialobjectdetection_tpu.ckpt.convert_tf import (
+        find_tf_checkpoint)
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "model.ckpt-7.index").write_bytes(b"x")
+    (d / "model.ckpt-7.data-00000-of-00001").write_bytes(b"x")
+
+    # bare prefix
+    assert find_tf_checkpoint(str(d / "model.ckpt-7")) == str(
+        d / "model.ckpt-7")
+    # directory with only .index files
+    assert find_tf_checkpoint(str(d)) == str(d / "model.ckpt-7")
+    # directory with a `checkpoint` state file (tarball layout)
+    (d / "checkpoint").write_text(
+        'model_checkpoint_path: "model.ckpt-7"\n'
+        'all_model_checkpoint_paths: "model.ckpt-7"\n')
+    assert find_tf_checkpoint(str(d)) == str(d / "model.ckpt-7")
+
+    # negatives: native pytree dir / nonexistent
+    n = tmp_path / "native"
+    n.mkdir()
+    (n / "pytree.msgpack").write_bytes(b"x")
+    assert find_tf_checkpoint(str(n)) is None
+    assert find_tf_checkpoint(str(tmp_path / "missing")) is None
+
+
+@pytest.mark.slow
+def test_detector_loads_tf_checkpoint_directly(lite0_fixture):
+    """Detector(ckpt_path=<TF checkpoint DIR>) auto-detects and converts
+    the reference checkpoint on the fly: the loaded variables must be
+    identical to an explicit load_tf_checkpoint + convert_tf_weights
+    (whose serve parity test_serve_parity_end_to_end already pins)."""
+    import os
+
+    import jax
+    from mladversarialobjectdetection_tpu.ckpt import convert_tf
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    _ref_model, prefix = lite0_fixture
+    ckpt_dir = os.path.dirname(prefix)
+    params = {"image_size": 64, "fpn_cell_repeats": 2,
+              "box_class_repeats": 2}
+
+    det_auto = Detector(model_name="efficientdet-lite0", params=params,
+                        ckpt_path=ckpt_dir)
+
+    det_exp = Detector(model_name="efficientdet-lite0", params=params)
+    tfw = convert_tf.load_tf_checkpoint(prefix)
+    expected = convert_tf.convert_tf_weights(
+        tfw, det_exp.config, det_exp.spec, det_exp.variables,
+        prefer_ema=True)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(det_auto.variables)
+    flat_e = jax.tree_util.tree_leaves_with_path(expected)
+    assert len(flat_a) == len(flat_e)
+    for (pa, a), (pe, e) in zip(flat_a, flat_e):
+        assert pa == pe
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
+                                      err_msg=str(pa))
