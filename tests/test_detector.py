@@ -86,6 +86,7 @@ def test_detector_per_class_mode():
     assert float(out.boxes.max()) <= 64 + 1e-3
 
 
+@pytest.mark.slow
 def test_serve_streams_batched(tmp_path):
     """Multi-stream batched serving: per-stream results equal single-frame
     serving; ended streams yield None while others continue."""

@@ -109,6 +109,7 @@ def test_unet_batchnorm_updates():
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
 
 
+@pytest.mark.slow
 def test_unet_remat_equivalence():
     """remat=True must be bit-identical to remat=False (same dropout rng
     replay) in eval forward AND train-mode input gradients."""
