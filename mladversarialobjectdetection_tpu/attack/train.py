@@ -224,6 +224,9 @@ def main():
     p.add_argument("--pre-nms-topk", type=int, default=256,
                    help="static NMS candidate cap (256 is lossless at "
                         "score_thresh .5 and faster)")
+    p.add_argument("--hparams", default=None,
+                   help="config override string 'a.b=1,c=2' or YAML path "
+                        "(reference tf2/train.py --hparams)")
     p.add_argument("--window", type=int, default=320,
                    help="static EOT composite window (0 -> model default)")
     args = p.parse_args()
@@ -233,7 +236,8 @@ def main():
           steps_per_epoch=args.steps_per_epoch,
           initial_patch=args.initial_patch, synthetic=args.synthetic,
           image_size=args.image_size, mixed_precision=not args.fp32,
-          pre_nms_topk=args.pre_nms_topk, window=args.window)
+          pre_nms_topk=args.pre_nms_topk, window=args.window,
+          config_override=args.hparams)
 
 
 if __name__ == "__main__":

@@ -168,6 +168,9 @@ def main():
     p.add_argument("--initial-weights", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--hparams", default=None,
+                   help="config override string 'a.b=1,c=2' or YAML path "
+                        "(reference tf2/train.py --hparams)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations for detector + U-Net (fp32 "
                         "params); fp32 is the default here")
@@ -178,7 +181,8 @@ def main():
           epochs=args.epochs, lr=args.lr,
           steps_per_epoch=args.steps_per_epoch,
           initial_weights=args.initial_weights, synthetic=args.synthetic,
-          image_size=args.image_size, bf16=args.bf16)
+          image_size=args.image_size, bf16=args.bf16,
+          config_override=args.hparams)
 
 
 if __name__ == "__main__":
