@@ -169,3 +169,51 @@ class Detector:
             for i in indices:
                 out[i] = jax.tree.map(lambda a: a[i], det)
             yield out
+
+    def serve_pipelined(self, frames_iter, *, batch_size: int = 1):
+        """Stream frames through the serve program with host/device overlap.
+
+        The reference serves frames strictly serially (demo loops call
+        KerasDriver.serve per frame); here a background thread runs the
+        host side (resize/normalize/pad + device_put) of batch t+1 while
+        the device executes batch t — double buffering via
+        data/pipeline.prefetch, the same pattern as the training input
+        pipeline. The final partial batch is padded to `batch_size` (one
+        compiled program) and the padding results dropped. Yields one
+        Detections per frame, in order.
+        """
+        from ..data.pipeline import prefetch
+        from ..ops.preprocess import preprocess_host
+
+        def host_batches():
+            buf, pad_count = [], 0
+            it = iter(frames_iter)
+            while True:
+                frame = next(it, None)
+                if frame is None:
+                    if not buf:
+                        return
+                    pad_count = batch_size - len(buf)
+                    buf.extend([buf[-1]] * pad_count)
+                if frame is not None:
+                    buf.append(np.asarray(frame))
+                if len(buf) == batch_size:
+                    pre = [preprocess_host(f, self.config.image_size,
+                                           self.config.mean_rgb,
+                                           self.config.stddev_rgb)
+                           for f in buf]
+                    imgs = np.stack([p[0] for p in pre])
+                    scales = np.asarray([p[1] for p in pre])
+                    yield imgs, scales, batch_size - pad_count
+                    if pad_count:
+                        return
+                    buf = []
+
+        def put(item):
+            imgs, scales, n = item
+            return jnp.asarray(imgs), jnp.asarray(scales), n
+
+        for imgs, scales, n in prefetch(host_batches(), device_put_fn=put):
+            det = jax.tree.map(np.asarray, self._serve(imgs, scales))
+            for i in range(n):
+                yield jax.tree.map(lambda a: a[i], det)

@@ -125,3 +125,28 @@ def test_serve_streams_batched(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ticks[0][0].boxes, solo.boxes[0],
                                rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_serve_pipelined_matches_serve():
+    """Pipelined streaming serve must yield exactly serve()'s per-frame
+    results, in order, including the padded final partial batch."""
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    det = Detector(model_name="efficientdet-lite0",
+                   params={"image_size": 64, "fpn_num_filters": 16,
+                           "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                           "nms_configs": {"score_thresh": 0.0,
+                                           "pre_nms_topk": 64,
+                                           "max_output_size": 16}})
+    rng = np.random.default_rng(9)
+    frames = [rng.uniform(0, 255, (48 + 8 * i, 64, 3)).astype(np.uint8)
+              for i in range(5)]  # 5 frames, batch 2 -> padded last batch
+
+    piped = list(det.serve_pipelined(iter(frames), batch_size=2))
+    assert len(piped) == 5
+    ref = det.serve(frames)
+    for i, d in enumerate(piped):
+        np.testing.assert_allclose(d.scores, ref.scores[i], atol=1e-6)
+        np.testing.assert_allclose(d.boxes, ref.boxes[i], atol=1e-4)
+        assert int(d.valid_len) == int(ref.valid_len[i])
