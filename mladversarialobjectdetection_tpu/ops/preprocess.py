@@ -42,14 +42,40 @@ def linear_resize_matrix(n_out: int, n_in: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def _resize_taps(n_out: int, n_in: int):
+    """Sparse rows of linear_resize_matrix: (idx [n_out, T], w [n_out, T]).
+
+    The triangle filter has at most ceil(2*radius)+1 nonzeros per output
+    pixel; enumerating only those makes the host resize ~ratio*n_in/T
+    times cheaper than the dense matmul with IDENTICAL weights."""
+    ratio = n_in / n_out
+    radius = max(ratio, 1.0)
+    taps = int(np.ceil(2 * radius)) + 1
+    out_centers = (np.arange(n_out) + 0.5) * ratio - 0.5
+    first = np.clip(np.ceil(out_centers - radius).astype(np.int64),
+                    0, max(n_in - taps, 0))
+    idx = first[:, None] + np.arange(taps)[None, :]          # [n_out, T]
+    idx = np.minimum(idx, n_in - 1)
+    dist = np.abs(out_centers[:, None] - idx)
+    w = np.maximum(0.0, 1.0 - dist / radius)
+    # duplicate clamped indices must not double-count
+    dup = np.zeros_like(w, dtype=bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    w[dup] = 0.0
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+    return idx, w.astype(np.float32)
+
+
 def resize_linear_np(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Separable antialiased linear resize of an [H, W, C] float image
-    (two BLAS matmuls; exact tf.image.resize(antialias=True) parity)."""
-    h, w, c = image.shape
-    ry = linear_resize_matrix(out_h, h)        # [out_h, h]
-    rx = linear_resize_matrix(out_w, w)        # [out_w, w]
-    t = np.einsum("oh,hwc->owc", ry, image.astype(np.float32), optimize=True)
-    return np.einsum("ow,hwc->hoc", rx, t, optimize=True)
+    (exact tf.image.resize(antialias=True) parity — the sparse-tap
+    evaluation of linear_resize_matrix; weights identical by construction,
+    pinned by tests/test_pipeline resize parity)."""
+    image = image.astype(np.float32)
+    iy, wy = _resize_taps(out_h, image.shape[0])
+    t = np.einsum("ot,otwc->owc", wy, image[iy], optimize=True)
+    ix, wx = _resize_taps(out_w, image.shape[1])
+    return np.einsum("ot,hotc->hoc", wx, t[:, ix], optimize=True)
 
 
 def preprocess_host(image: np.ndarray, output_size, mean_rgb, stddev_rgb
@@ -70,13 +96,16 @@ def preprocess_host(image: np.ndarray, output_size, mean_rgb, stddev_rgb
     """
     output_size = parse_image_size(output_size)
     h, w = image.shape[:2]
-    image = image.astype(np.float32)
-    image -= np.asarray(mean_rgb, np.float32)
-    image /= np.asarray(stddev_rgb, np.float32)
 
     scale = min(output_size[1] / w, output_size[0] / h)
     scaled_h, scaled_w = int(h * scale), int(w * scale)
-    scaled = resize_linear_np(image, scaled_h, scaled_w)
+    # normalize AFTER the resize: the per-output-normalized linear filter
+    # commutes exactly with the affine normalization (weights sum to 1),
+    # and the scaled image is (1/scale)^2 x smaller to normalize. The
+    # reference normalizes first (dataloader.py:118-128) — same result.
+    scaled = resize_linear_np(image.astype(np.float32), scaled_h, scaled_w)
+    scaled -= np.asarray(mean_rgb, np.float32)
+    scaled /= np.asarray(stddev_rgb, np.float32)
     out = np.zeros((*output_size, 3), np.float32)
     out[:scaled_h, :scaled_w, :] = scaled
     return out, 1.0 / scale

@@ -150,3 +150,22 @@ def test_serve_pipelined_matches_serve():
         np.testing.assert_allclose(d.scores, ref.scores[i], atol=1e-6)
         np.testing.assert_allclose(d.boxes, ref.boxes[i], atol=1e-4)
         assert int(d.valid_len) == int(ref.valid_len[i])
+
+
+def test_serve_device_preprocess_matches_host():
+    """On-device uint8 preprocessing path == host preprocessing path
+    (jax.image.resize vs the host resize agree to float tolerance)."""
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    det = Detector(model_name="efficientdet-lite0",
+                   params={"image_size": 64, "fpn_num_filters": 16,
+                           "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                           "nms_configs": {"score_thresh": 0.0,
+                                           "pre_nms_topk": 64,
+                                           "max_output_size": 16}})
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    host = det.serve(frames)
+    dev = det.serve(frames, device_preprocess=True)
+    np.testing.assert_allclose(dev.scores, host.scores, atol=2e-3)
+    np.testing.assert_allclose(dev.boxes, host.boxes, atol=0.5)
+    np.testing.assert_array_equal(dev.valid_len, host.valid_len)

@@ -64,10 +64,60 @@ def main(model_name="efficientdet-d0", batches=(1, 8), iters=20):
               f"({b/dt:7.1f} img/s)", flush=True)
 
 
+
+
+def bench_pipelined(model_name="efficientdet-lite4", n_frames=64,
+                    batch_size=4):
+    """End-to-end streaming throughput: serial Detector.serve per frame vs
+    serve_pipelined (host preprocess overlapped with device compute)."""
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    det = Detector(model_name=model_name,
+                   params={"mixed_precision": True,
+                           "nms_configs": {"pre_nms_topk": 1024}})
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(0, 255, (720, 1280, 3)).astype(np.uint8)
+              for _ in range(n_frames)]
+
+    # warm both programs
+    det.serve(frames[:1])
+    list(det.serve_pipelined(iter(frames[:2 * batch_size]),
+                             batch_size=batch_size))
+
+    t0 = time.perf_counter()
+    for f in frames:
+        det.serve(np.asarray(f)[None])
+    t_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in det.serve_pipelined(iter(frames),
+                                               batch_size=batch_size))
+    t_piped = time.perf_counter() - t0
+    assert n_out == n_frames
+
+    det.serve(np.stack(frames[:batch_size]), device_preprocess=True)  # warm
+    t0 = time.perf_counter()
+    for i in range(0, n_frames, batch_size):
+        det.serve(np.stack(frames[i:i + batch_size]),
+                  device_preprocess=True)
+    t_dev = time.perf_counter() - t0
+    print(f"streaming {model_name} 720p x{n_frames}: "
+          f"serial b1 {n_frames/t_serial:.1f} fps | "
+          f"pipelined b{batch_size} {n_frames/t_piped:.1f} fps "
+          f"({t_serial/t_piped:.2f}x) | "
+          f"device-preprocess b{batch_size} {n_frames/t_dev:.1f} fps "
+          f"({t_serial/t_dev:.2f}x)", flush=True)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="efficientdet-d0")
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--pipelined", action="store_true",
+                   help="streaming serial-vs-pipelined comparison instead")
     a = p.parse_args()
-    main(a.model, tuple(a.batches), a.iters)
+    if a.pipelined:
+        bench_pipelined(a.model)
+    else:
+        main(a.model, tuple(a.batches), a.iters)
