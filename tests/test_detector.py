@@ -152,6 +152,7 @@ def test_serve_pipelined_matches_serve():
         assert int(d.valid_len) == int(ref.valid_len[i])
 
 
+@pytest.mark.slow
 def test_serve_device_preprocess_matches_host():
     """On-device uint8 preprocessing path == host preprocessing path
     (jax.image.resize vs the host resize agree to float tolerance)."""
