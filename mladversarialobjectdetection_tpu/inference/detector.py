@@ -195,17 +195,22 @@ class Detector:
                 out[i] = jax.tree.map(lambda a: a[i], det)
             yield out
 
-    def serve_pipelined(self, frames_iter, *, batch_size: int = 1):
+    def serve_pipelined(self, frames_iter, *, batch_size: int = 1,
+                        device_preprocess: bool = False):
         """Stream frames through the serve program with host/device overlap.
 
         The reference serves frames strictly serially (demo loops call
         KerasDriver.serve per frame); here a background thread runs the
-        host side (resize/normalize/pad + device_put) of batch t+1 while
-        the device executes batch t — double buffering via
-        data/pipeline.prefetch, the same pattern as the training input
-        pipeline. The final partial batch is padded to `batch_size` (one
-        compiled program) and the padding results dropped. Yields one
-        Detections per frame, in order.
+        host side of batch t+1 while the device executes batch t — double
+        buffering via data/pipeline.prefetch, the same pattern as the
+        training input pipeline. The final partial batch is padded to
+        `batch_size` (one compiled program) and the padding results
+        dropped. Yields one Detections per frame, in order.
+
+        device_preprocess=True additionally moves resize/normalize/pad
+        onto the chip (see serve()): the background thread only stacks +
+        uploads RAW uint8 frames — the fastest streaming mode for a
+        fixed camera shape (all frames must share one shape).
         """
         from ..data.pipeline import prefetch
         from ..ops.preprocess import preprocess_host
@@ -223,22 +228,29 @@ class Detector:
                 if frame is not None:
                     buf.append(np.asarray(frame))
                 if len(buf) == batch_size:
-                    pre = [preprocess_host(f, self.config.image_size,
-                                           self.config.mean_rgb,
-                                           self.config.stddev_rgb)
-                           for f in buf]
-                    imgs = np.stack([p[0] for p in pre])
-                    scales = np.asarray([p[1] for p in pre])
-                    yield imgs, scales, batch_size - pad_count
+                    if device_preprocess:
+                        yield np.stack(buf), None, batch_size - pad_count
+                    else:
+                        pre = [preprocess_host(f, self.config.image_size,
+                                               self.config.mean_rgb,
+                                               self.config.stddev_rgb)
+                               for f in buf]
+                        yield (np.stack([p[0] for p in pre]),
+                               np.asarray([p[1] for p in pre]),
+                               batch_size - pad_count)
                     if pad_count:
                         return
                     buf = []
 
         def put(item):
             imgs, scales, n = item
-            return jnp.asarray(imgs), jnp.asarray(scales), n
+            return (jnp.asarray(imgs),
+                    None if scales is None else jnp.asarray(scales), n)
 
         for imgs, scales, n in prefetch(host_batches(), device_put_fn=put):
-            det = jax.tree.map(np.asarray, self._serve(imgs, scales))
+            if device_preprocess:
+                det = jax.tree.map(np.asarray, self._serve_raw(imgs))
+            else:
+                det = jax.tree.map(np.asarray, self._serve(imgs, scales))
             for i in range(n):
                 yield jax.tree.map(lambda a: a[i], det)

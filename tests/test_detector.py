@@ -151,6 +151,16 @@ def test_serve_pipelined_matches_serve():
         np.testing.assert_allclose(d.boxes, ref.boxes[i], atol=1e-4)
         assert int(d.valid_len) == int(ref.valid_len[i])
 
+    # device-preprocess pipelined mode (fixed shape): == device serve
+    same = [f[:48] for f in frames]  # equal shapes
+    piped_d = list(det.serve_pipelined(iter(same), batch_size=2,
+                                       device_preprocess=True))
+    ref_d = det.serve(np.stack(same), device_preprocess=True)
+    assert len(piped_d) == 5
+    for i, d in enumerate(piped_d):
+        np.testing.assert_allclose(d.scores, ref_d.scores[i], atol=1e-6)
+        assert int(d.valid_len) == int(ref_d.valid_len[i])
+
 
 @pytest.mark.slow
 def test_serve_device_preprocess_matches_host():
