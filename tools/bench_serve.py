@@ -101,6 +101,16 @@ def bench_pipelined(model_name="efficientdet-lite4", n_frames=64,
         det.serve(np.stack(frames[i:i + batch_size]),
                   device_preprocess=True)
     t_dev = time.perf_counter() - t0
+
+    list(det.serve_pipelined(iter(frames[:2 * batch_size]),
+                             batch_size=batch_size, device_preprocess=True))
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in det.serve_pipelined(
+        iter(frames), batch_size=batch_size, device_preprocess=True))
+    t_both = time.perf_counter() - t0
+    assert n_out == n_frames
+    print(f"  pipelined+device-preprocess b{batch_size}: "
+          f"{n_frames/t_both:.1f} fps ({t_serial/t_both:.2f}x)", flush=True)
     print(f"streaming {model_name} 720p x{n_frames}: "
           f"serial b1 {n_frames/t_serial:.1f} fps | "
           f"pipelined b{batch_size} {n_frames/t_piped:.1f} fps "
