@@ -55,7 +55,13 @@ def find_tf_checkpoint(path: str):
                     p = os.path.join(path, p)
                 if os.path.isfile(p + ".index"):
                     return p
-        idx = sorted(glob.glob(os.path.join(path, "*.index")))
+        def step_key(p):
+            # numeric step suffix (model.ckpt-10 > model.ckpt-9); fall back
+            # to lexicographic only when no number is present
+            m = re.search(r"(\d+)\.index$", p)
+            return (1, int(m.group(1)), p) if m else (0, 0, p)
+
+        idx = sorted(glob.glob(os.path.join(path, "*.index")), key=step_key)
         if idx:
             return idx[-1][:-len(".index")]
     return None

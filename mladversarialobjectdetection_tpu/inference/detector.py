@@ -215,17 +215,23 @@ class Detector:
         from ..data.pipeline import prefetch
         from ..ops.preprocess import preprocess_host
 
+        _END = object()  # private exhaustion sentinel: a None yielded by
+        # the caller's iterator is an error, not end-of-stream
+
         def host_batches():
             buf, pad_count = [], 0
             it = iter(frames_iter)
             while True:
-                frame = next(it, None)
-                if frame is None:
+                frame = next(it, _END)
+                if frame is _END:
                     if not buf:
                         return
                     pad_count = batch_size - len(buf)
                     buf.extend([buf[-1]] * pad_count)
-                if frame is not None:
+                else:
+                    if frame is None:
+                        raise ValueError(
+                            "frames_iter yielded None mid-stream")
                     buf.append(np.asarray(frame))
                 if len(buf) == batch_size:
                     if device_preprocess:

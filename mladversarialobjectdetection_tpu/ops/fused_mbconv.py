@@ -187,7 +187,11 @@ def _pick_row_tile(H, W, C, E, Co, h, itemsize=2, budget_bytes=10 << 20):
                + (C * E + E * Co) * itemsize)
         if est <= budget_bytes:
             return th
-    return 1
+    # even a single haloed row exceeds scoped VMEM: fail with a clear
+    # message instead of an opaque mosaic allocation error downstream
+    raise ValueError(
+        f"fused_mbconv: no row tile fits the {budget_bytes >> 20} MiB VMEM "
+        f"budget for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
 
 
 def _halo_rows(x, th, h):
@@ -345,7 +349,9 @@ def _pick_row_tile_bwd(H, W, C, E, Co, h, itemsize=2, budget_bytes=10 << 20):
                + (C * E + E * Co) * itemsize)
         if est <= budget_bytes:
             return th
-    return 1
+    raise ValueError(
+        f"fused_mbconv bwd: no row tile fits the {budget_bytes >> 20} MiB "
+        f"VMEM budget for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
 
 
 def _mbconv_bwd_pallas(x, g, fb: FoldedBlock, *, act_type, residual,

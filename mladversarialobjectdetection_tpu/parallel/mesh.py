@@ -58,7 +58,15 @@ def make_hybrid_mesh(dcn_size: Optional[int] = None,
     if n % dcn_size != 0:
         raise ValueError(f"{n} devices not divisible into dcn_size={dcn_size}")
     if jax.process_count() > 1:
-        # real multi-host: use the topology-aware layout
+        # real multi-host: the DCN axis must match the process layout —
+        # create_hybrid_device_mesh needs every per-process granule to hold
+        # devices-per-process chips, which an arbitrary dcn_size breaks
+        # with an obscure shape error deep inside mesh_utils
+        if dcn_size != jax.process_count():
+            raise ValueError(
+                f"hybrid mesh on {jax.process_count()} processes requires "
+                f"dcn_size == process_count, got dcn_size={dcn_size}; pass "
+                "dcn_size=None to use the process count")
         from jax.experimental import mesh_utils
         dev_array = mesh_utils.create_hybrid_device_mesh(
             (1, n // dcn_size), (dcn_size, 1), devices=devices)
