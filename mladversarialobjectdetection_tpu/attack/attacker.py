@@ -183,7 +183,8 @@ class PatchAttacker:
 
     # -- steps -------------------------------------------------------------
     def train_step(self, state: AttackState, images: jnp.ndarray,
-                   with_asr: bool = True
+                   with_asr: bool = True,
+                   boxes_override: Tuple[jnp.ndarray, jnp.ndarray] | None = None
                    ) -> Tuple[AttackState, StepMetrics]:
         """One SPMD attack step. jit/pjit me (with_asr static).
 
@@ -192,12 +193,30 @@ class PatchAttacker:
         asr/asr_to_scale as NaN; the optimization itself is identical.
         Drivers run the ASR variant only on logged steps — the reference
         computes ASR in-graph every step (attacker.py:238-263) but only
-        ever *reads* it at visualize/log cadence."""
+        ever *reads* it at visualize/log cadence.
+
+        boxes_override: optional ([B, K, 4] boxes, [B, K] valid) replacing
+        the first-pass detections as the EOT placement targets — a
+        bench/diagnostic hook for pinning the live-slot workload
+        independently of what the victim detects (bench.py's
+        representative regime). The clean pass still executes — its
+        output is threaded through an exactly-zero data-dependent term —
+        so the step cost stays that of the full two-pass program."""
         key, k_eot, k_next = jax.random.split(state.key, 3)
         del key
         boxes, clean_scores, clean_valid = self.first_pass(images)
-        boxes = jax.lax.stop_gradient(boxes[:, :self.max_boxes])
-        boxes_valid = clean_valid[:, :self.max_boxes]
+        if boxes_override is not None:
+            ob, ov = boxes_override
+            # exactly-zero (min(|x| summed, 0)) yet data-dependent on the
+            # detected boxes: XLA cannot prove it zero, so the clean pass
+            # is never dead-code-eliminated from the compiled step
+            keep = jnp.minimum(jnp.sum(jnp.abs(boxes)), 0.0)
+            boxes = ob[:, :self.max_boxes] + keep
+            boxes_valid = ov[:, :self.max_boxes]
+            boxes = jax.lax.stop_gradient(boxes)
+        else:
+            boxes = jax.lax.stop_gradient(boxes[:, :self.max_boxes])
+            boxes_valid = clean_valid[:, :self.max_boxes]
 
         def loss_fn(trainables):
             scale, patch = trainables

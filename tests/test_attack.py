@@ -80,3 +80,34 @@ def test_artifacts_roundtrip(tmp_path):
     loaded, scale = artifacts.load_patch_dir(d)
     assert np.allclose(loaded, patch)
     assert scale == pytest.approx(0.37)
+
+
+def test_train_step_boxes_override(attacker, rand_images):
+    """boxes_override (bench.py's live-slot regime hook) pins the EOT
+    placement: with identical PRNG chains, a step with one live overridden
+    slot must produce a different patch update than one with no live slots
+    (the only difference is the composite + detector-response path)."""
+    import functools
+
+    st = attacker.init_state(jax.random.PRNGKey(0))
+    k = attacker.max_boxes
+    h, w = attacker.image_hw
+    boxes = np.zeros((2, k, 4), np.float32)
+    boxes[:, 0] = (4.0, 4.0, h - 4.0, w - 4.0)
+    live = np.zeros((2, k), bool)
+    live[:, 0] = True
+    dead = np.zeros((2, k), bool)
+
+    def run(valid):
+        step = jax.jit(functools.partial(
+            attacker.train_step,
+            boxes_override=(jnp.asarray(boxes), jnp.asarray(valid))))
+        st2, m = step(st, rand_images)
+        for name, v in m._asdict().items():
+            if name not in ("asr", "asr_to_scale"):
+                assert np.isfinite(float(v)), name
+        return np.asarray(st2.patch)
+
+    p_live = run(live)
+    p_dead = run(dead)
+    assert not np.allclose(p_live, p_dead)
