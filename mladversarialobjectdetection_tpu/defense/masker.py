@@ -46,25 +46,34 @@ def make_train_patches(key: jax.Array, images: jnp.ndarray,
 def apply_masker(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                  boxes_valid: jnp.ndarray, *, training: bool,
                  adv_patch: jnp.ndarray | None = None,
-                 adv_scale: float | jnp.ndarray = 0.4
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 adv_scale: float | jnp.ndarray = 0.4,
+                 **eot_kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Plant patches; return (patched images, targets).
 
     targets[b] = original[b] - patched[b] inside patched regions, else 0.
+    `eot_kwargs` pass through to eot.apply_patches (backend selection and
+    the randomness-pinning hooks used by the reference-parity tests).
     """
     k_patch, k_apply = jax.random.split(key)
     if training:
-        train_patches = make_train_patches(k_patch, images)
+        train_patches = eot_kwargs.pop(
+            "train_patches", None)
+        if train_patches is None:
+            train_patches = make_train_patches(k_patch, images)
         patched, region = eot.apply_patches(
             k_apply, images, boxes, boxes_valid,
             jnp.zeros_like(train_patches[0]),  # unused placeholder
-            0.0, tolerance=TRAIN_TOLERANCE, noise_mag=NOISE_MAG,
-            random_scale_range=TRAIN_SCALE_RANGE,
-            per_image_patches=train_patches)
+            eot_kwargs.pop("adv_scale_override", 0.0),
+            tolerance=eot_kwargs.pop("tolerance", TRAIN_TOLERANCE),
+            noise_mag=eot_kwargs.pop("noise_mag", NOISE_MAG),
+            random_scale_range=eot_kwargs.pop("random_scale_range",
+                                              TRAIN_SCALE_RANGE),
+            per_image_patches=train_patches, **eot_kwargs)
     else:
         assert adv_patch is not None, "eval mode needs the adversarial patch"
         patched, region = eot.apply_patches(
             k_apply, images, boxes, boxes_valid, adv_patch, adv_scale,
-            tolerance=0.0, noise_mag=NOISE_MAG)
+            tolerance=eot_kwargs.pop("tolerance", 0.0),
+            noise_mag=eot_kwargs.pop("noise_mag", NOISE_MAG), **eot_kwargs)
     targets = jnp.where(region[..., None], images - patched, 0.0)
     return patched, targets

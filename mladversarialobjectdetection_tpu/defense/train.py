@@ -61,7 +61,12 @@ def train(model_name: str = "efficientdet-lite4", *,
                                    eval_scale=scale, learning_rate=lr)
     state = defender.init_state(jax.random.PRNGKey(seed))
     if initial_weights:
-        restored = ckpt_io.load_pytree(initial_weights)
+        # native pytree ckpt dir OR a reference antipatch.h5
+        # (attack_detection.py:54-55 initial_weights h5 semantics)
+        from ..ckpt.convert_defense import load_antipatch
+        restored = load_antipatch(
+            initial_weights, {"params": state.params,
+                              "batch_stats": state.batch_stats})
         state = state._replace(params=restored["params"],
                                batch_stats=restored["batch_stats"])
     state = replicate(mesh, state)

@@ -21,6 +21,7 @@ from ..attack import artifacts
 from ..inference.adv_patch import AdversarialPatch
 from ..inference.detector import Detector
 from ..inference.streaming import Stream
+from ..utils.image import parse_image_size
 from ..utils.log import get_logger
 from . import draw
 
@@ -68,13 +69,17 @@ class RecoveryDemo(Demo):
         super().__init__(detector)
         import jax
         import jax.numpy as jnp
-        from ..ckpt import io as ckpt_io
+        from ..ckpt.convert_defense import load_antipatch
         from ..models.unet import PatchNeutralizer
 
         self.unet = PatchNeutralizer()
-        restored = ckpt_io.load_pytree(weights_path)
-        self._variables = {"params": restored["params"],
-                           "batch_stats": restored.get("batch_stats", {})}
+        # accepts our pytree ckpts AND reference antipatch.h5 files
+        # (attack_detection.py:311-318, demo_v2.py:226)
+        template = self.unet.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, *parse_image_size(detector.config.image_size), 3)),
+            False)
+        self._variables = load_antipatch(weights_path, template)
         self._apply = jax.jit(
             lambda v, x: jnp.clip(x + 2.0 * self.unet.apply(v, x, False),
                                   -1.0, 1.0))

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 
 _he_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
 
+# Keras-parity constants (the reference U-Net is plain tf.keras layers):
+# Activation('leaky_relu') resolves to negative_slope 0.2, and
+# BatchNormalization uses epsilon 1e-3 / momentum .99 (generator.py:120,
+# 172; tf.keras defaults) — both differ from the flax defaults (0.01 /
+# 1e-5), and both matter for loading reference antipatch.h5 weights.
+LEAKY_SLOPE = 0.2
+BN_EPS = 1e-3
+
+
+def _bn(training: bool, dtype, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS,
+                        momentum=0.99, dtype=dtype, name=name)
+
 
 class ConvBlock(nn.Module):
     """Two 3x3 conv + BN + leaky_relu (generator.py:153-214)."""
@@ -36,9 +49,8 @@ class ConvBlock(nn.Module):
                         kernel_init=_he_init, dtype=self.dtype,
                         name=f"cnv{j}")(x)
             if self.batchnorm:
-                x = nn.BatchNorm(use_running_average=not training,
-                                 dtype=self.dtype, name=f"bn{j}")(x)
-            x = nn.leaky_relu(x)
+                x = _bn(training, self.dtype, f"bn{j}")(x)
+            x = nn.leaky_relu(x, LEAKY_SLOPE)
         if self.maxpool:
             f = nn.max_pool(x, (2, 2), strides=(2, 2))
             if self.dropout:
@@ -58,16 +70,13 @@ class AttentionBlock(nn.Module):
     def __call__(self, up_in, skip_in, training: bool = False):
         g = nn.Conv(self.n_filters, (1, 1), dtype=self.dtype,
                     name="cnv1")(up_in)
-        g = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
-                         name="bn1")(g)
+        g = _bn(training, self.dtype, "bn1")(g)
         x = nn.Conv(self.n_filters, (1, 1), dtype=self.dtype,
                     name="cnv2")(skip_in)
-        x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
-                         name="bn2")(x)
-        x = nn.leaky_relu(g + x)
+        x = _bn(training, self.dtype, "bn2")(x)
+        x = nn.leaky_relu(g + x, LEAKY_SLOPE)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
-        x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
-                         name="bn3")(x)
+        x = _bn(training, self.dtype, "bn3")(x)
         x = jax.nn.sigmoid(x)
         return skip_in * x
 

@@ -79,7 +79,8 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
                         tolerance: float = 0.2,
                         min_patch_area: float = 4.0,
                         random_scale_range: Tuple[float, float] | None = None,
-                        max_region: Optional[float] = None
+                        max_region: Optional[float] = None,
+                        rotation_mag: float = DEG20
                         ) -> PatchGeometry:
     """Compute per-slot patch placement for one image.
 
@@ -98,6 +99,8 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
       max_region: clamp for the region side (defaults to image width,
         matching the reference; the matmul backend passes its static
         window size).
+      rotation_mag: rotation range in radians (default +-20deg,
+        attacker.py:436); 0 pins the rotation for parity tests.
     """
     h_img, w_img = float(img_hw[0]), float(img_hw[1])
     region_cap = w_img if max_region is None else min(w_img, float(max_region))
@@ -133,7 +136,8 @@ def make_patch_geometry(key: jax.Array, boxes: jnp.ndarray,
     ymin_p = jnp.where(ymin_p + diag > h_img, h_img - diag, ymin_p)
     xmin_p = jnp.where(xmin_p + diag > w_img, w_img - diag, xmin_p)
 
-    angle = jax.random.uniform(k_a, (k,), minval=-DEG20, maxval=DEG20)
+    angle = jax.random.uniform(k_a, (k,), minval=-rotation_mag,
+                               maxval=rotation_mag)
     valid = boxes_valid & (size * size > min_patch_area)
     return PatchGeometry(ymin_p, xmin_p, size, diag, angle, valid)
 
@@ -489,7 +493,8 @@ def default_window(img_hw: Tuple[int, int]) -> int:
                                              "random_scale_range",
                                              "use_histogram_match",
                                              "backend", "window",
-                                             "canvas_res"))
+                                             "canvas_res", "rotation_mag",
+                                             "print_jitter"))
 def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                   boxes_valid: jnp.ndarray, patch: jnp.ndarray, scale, *,
                   tolerance: float = 0.2, min_patch_area: float = 4.0,
@@ -499,7 +504,9 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                   use_histogram_match: bool = False,
                   backend: str = "matmul",
                   window: Optional[int] = None,
-                  canvas_res: int = 96
+                  canvas_res: int = 96,
+                  rotation_mag: float = DEG20,
+                  print_jitter: bool = True
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply the adversarial patch to every valid person box in a batch.
 
@@ -522,6 +529,12 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         (default `default_window` = min(image, 384)).
       canvas_res: pre-downsampled patch-canvas resolution for the matmul
         backend.
+      rotation_mag: rotation range in radians (0 disables rotation —
+        parity-test hook).
+      print_jitter: False pins the print transform to its mean (w=.5,
+        b=0) — parity-test hook (the reference pins the same way by
+        stubbing its RNG; the .5 gain is also what the CPU inference
+        mirror uses deterministically, adv_patch.py:40-59).
 
     Returns:
       (patched images [B, H, W, 3], region masks [B, H, W] bool).
@@ -540,7 +553,10 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         gather backend."""
         k_print, k_geom, k_comp = jax.random.split(k, 3)
         src = own_patch if own_patch is not None else patch
-        printed = color.random_print_adjust(k_print, src)
+        if print_jitter:
+            printed = color.random_print_adjust(k_print, src)
+        else:
+            printed = jnp.clip(0.5 * src, -1.0, 1.0)
         if use_histogram_match:
             canvas = color.histogram_match(printed, img)
         else:
@@ -548,7 +564,8 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
         geom = make_patch_geometry(
             k_geom, bxs, bval, scale, img_hw, tolerance=tolerance,
             min_patch_area=min_patch_area,
-            random_scale_range=random_scale_range, max_region=max_region)
+            random_scale_range=random_scale_range, max_region=max_region,
+            rotation_mag=rotation_mag)
         return canvas, geom, k_comp
 
     if per_image_patches is not None:

@@ -1,0 +1,341 @@
+"""Golden parity for the DEFENSE stack vs the reference TF implementation.
+
+Mirrors test_parity_tf.py (which earned the detector its golden parity):
+
+- U-Net: build the reference `generator.PatchNeutralizer` (tf.keras,
+  generator.py:17-96) with random init, convert its live weights through
+  ckpt/convert_defense.py, and require forward parity; same through a
+  saved `antipatch.h5` (the reference defender checkpoint format,
+  attack_detection.py:311-318).
+- Masker: run the reference `attack_detection.Masker` with its RNG pinned
+  to the distribution means (print gain .5, zero noise/brightness/
+  rotation/jitter, scale at the U(.3,.5) midpoint) against our
+  `defense.masker.apply_masker` with the matching pinning hooks, and
+  require the patched images and recovery targets to agree on patch
+  interiors. The reference quantizes patch placement to integer pixels
+  (tf.cast at attack_detection.py:403) while ours is continuous, so
+  interiors are compared after eroding a small boundary band; constant
+  and linear-ramp patch sources make the comparison filter-independent
+  (both resamplers have linear precision).
+
+Skipped automatically when the reference tree or TF is unavailable.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference tree not available"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    """Import the reference defense modules under modern TF.
+
+    The reference targets keras 2.8 import paths and optional deps
+    (tensorflow_addons/tfplot/tifffile) absent here; shim both. The tfa
+    stub only supports angle==0 rotation — exactly the pinned-RNG regime
+    these tests run in.
+    """
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    if os.environ.get("TF_USE_LEGACY_KERAS") != "1":
+        pytest.skip("legacy keras required")
+    tf = pytest.importorskip("tensorflow")
+    tf_keras = pytest.importorskip("tf_keras")
+
+    sys.modules.setdefault("keras", tf_keras)
+    sys.modules.setdefault("keras.backend", tf_keras.backend)
+    sys.modules.setdefault("keras.layers", tf_keras.layers)
+    sys.modules.setdefault("keras.models", tf_keras.models)
+    conv_mod = types.ModuleType("keras.layers.convolutional")
+    conv_mod.Conv2D = tf_keras.layers.Conv2D
+    conv_mod.Conv2DTranspose = tf_keras.layers.Conv2DTranspose
+    sys.modules.setdefault("keras.layers.convolutional", conv_mod)
+    pool_mod = types.ModuleType("keras.layers.pooling")
+    pool_mod.MaxPooling2D = tf_keras.layers.MaxPooling2D
+    sys.modules.setdefault("keras.layers.pooling", pool_mod)
+
+    # optional deps the Masker path touches only trivially
+    tfa = types.ModuleType("tensorflow_addons")
+    tfa_img = types.ModuleType("tensorflow_addons.image")
+
+    def _rotate(im, angle, interpolation="bilinear", fill_value=0.0):
+        tf.debugging.assert_near(angle, tf.zeros_like(angle), atol=1e-6,
+                                 message="tfa stub supports angle=0 only")
+        return tf.identity(im)
+
+    tfa_img.rotate = _rotate
+    tfa.image = tfa_img
+    sys.modules.setdefault("tensorflow_addons", tfa)
+    sys.modules.setdefault("tensorflow_addons.image", tfa_img)
+
+    tfplot = types.ModuleType("tfplot")
+
+    def _autowrap(*a, **k):
+        def deco(fn):
+            return fn
+        return deco
+
+    tfplot.autowrap = _autowrap
+    sys.modules.setdefault("tfplot", tfplot)
+    tifffile_mod = types.ModuleType("tifffile")
+    tifffile_mod.tifffile = types.SimpleNamespace(
+        imread=lambda p: np.zeros((8, 8, 3), np.float32),
+        imwrite=lambda *a, **k: None)
+    sys.modules.setdefault("tifffile", tifffile_mod)
+
+    for p in (REFERENCE, os.path.join(REFERENCE, "automl/efficientdet")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import generator  # noqa: F401  (reference module)
+    return tf
+
+
+def _pin_reference_rng(monkeypatch, tf):
+    """Pin every RNG the reference Masker draws to its distribution mean."""
+
+    def fake_normal(shape, mean=0.0, stddev=1.0, dtype=None, **kw):
+        return tf.fill(shape, tf.cast(mean, dtype or tf.float32))
+
+    def fake_uniform(shape, minval=0, maxval=None, dtype=None, **kw):
+        if maxval is None:
+            maxval = 1
+        dtype = dtype or tf.float32
+        mid = (tf.cast(minval, dtype) + tf.cast(maxval, dtype)) / 2
+        return tf.fill(shape, mid)
+
+    monkeypatch.setattr(tf.random, "normal", fake_normal)
+    monkeypatch.setattr(tf.random, "uniform", fake_uniform)
+    monkeypatch.setattr(tf.random, "shuffle", lambda x, **kw: tf.identity(x))
+    monkeypatch.setattr(tf.image, "random_flip_left_right",
+                        lambda x, **kw: tf.identity(x))
+    monkeypatch.setattr(tf.image, "random_flip_up_down",
+                        lambda x, **kw: tf.identity(x))
+    monkeypatch.setattr(tf.image, "random_brightness",
+                        lambda x, d, **kw: tf.identity(x))
+
+
+# ---------------------------------------------------------------------------
+# U-Net parity
+# ---------------------------------------------------------------------------
+
+def _build_ref_unet(tf, image_size=64, seed=0):
+    import generator
+    tf.keras.backend.clear_session()
+    tf.random.set_seed(seed)
+    model = generator.define_model(image_size, generator.PatchNeutralizer)
+    # randomize BN moving stats so the conversion actually exercises them
+    rng = np.random.default_rng(seed)
+    for w in model.weights:
+        if "moving_mean" in w.name:
+            w.assign(rng.normal(0, 0.3, w.shape).astype(np.float32))
+        elif "moving_variance" in w.name:
+            w.assign(rng.uniform(0.5, 2.0, w.shape).astype(np.float32))
+    return model
+
+
+def _our_unet(image_size=64):
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.models.unet import PatchNeutralizer
+    m = PatchNeutralizer()
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, image_size, image_size, 3)), False)
+    return m, v
+
+
+def test_unet_param_count_parity(ref_env):
+    """Our PatchNeutralizer matches generator.define_model tensor-for-tensor
+    (190 weights, 555,399 total params incl. BN moving stats)."""
+    import jax
+    ref = _build_ref_unet(ref_env)
+    m, v = _our_unet()
+    leaves = jax.tree.leaves(v)
+    ours_total = sum(int(np.prod(l.shape)) for l in leaves)
+    assert len(ref.weights) == len(leaves) == 190
+    assert ref.count_params() == ours_total == 555399
+
+
+def test_unet_forward_parity_live_weights(ref_env):
+    """Reference U-Net -> convert_unet_weights -> forward agreement."""
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ckpt import convert_defense as cd
+    ref = _build_ref_unet(ref_env)
+    m, v = _our_unet()
+    conv = cd.convert_unet_weights(cd.keras_unet_weights(ref), v)
+    x = np.random.default_rng(1).uniform(-1, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    y_ref = ref(x, training=False).numpy()
+    y = np.asarray(m.apply(conv, jnp.asarray(x), False))
+    assert np.abs(y - y_ref).max() < 1e-4
+
+
+def test_unet_antipatch_h5_restore(ref_env, tmp_path):
+    """A reference-format antipatch.h5 loads end-to-end (the demo restore
+    path, demo_v2.py:226) and reproduces the reference forward."""
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ckpt.convert_defense import (
+        load_antipatch)
+    ref = _build_ref_unet(ref_env, seed=3)
+    h5 = str(tmp_path / "antipatch.h5")
+    ref.save_weights(h5)
+    m, v = _our_unet()
+    conv = load_antipatch(h5, v)
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 64, 64, 3)).astype(
+        np.float32)
+    y_ref = ref(x, training=False).numpy()
+    y = np.asarray(m.apply(conv, jnp.asarray(x), False))
+    assert np.abs(y - y_ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Masker parity
+# ---------------------------------------------------------------------------
+
+def _smooth_images(b, size, seed=0):
+    """Low-frequency scenes: sub-pixel placement differences (the reference
+    quantizes to ints, we don't) stay small on smooth content."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    imgs = []
+    for _ in range(b):
+        a, bb, c = rng.uniform(-0.6, 0.6, 3)
+        fy, fx = rng.uniform(1.0, 2.5, 2)
+        img = np.stack([
+            a * np.sin(2 * np.pi * fy * yy) * np.cos(2 * np.pi * fx * xx),
+            bb * np.cos(2 * np.pi * fx * yy + 1.0),
+            c * np.sin(2 * np.pi * fy * xx + 0.5),
+        ], axis=-1)
+        imgs.append(img)
+    return np.clip(np.stack(imgs), -1, 1).astype(np.float32)
+
+
+def _erode(mask, it):
+    """Binary erosion by `it` pixels (4-neighborhood, pure numpy)."""
+    m = mask.copy()
+    for _ in range(it):
+        m = (m
+             & np.roll(m, 1, 0) & np.roll(m, -1, 0)
+             & np.roll(m, 1, 1) & np.roll(m, -1, 1))
+    return m
+
+
+def _run_reference_masker(tf, monkeypatch, images, boxes_list, patch, scale,
+                          training):
+    import attack_detection
+    _pin_reference_rng(monkeypatch, tf)
+    if patch is None:  # training mode never reads the adversarial patch
+        patch = np.zeros((8, 8, 3), np.float32)
+    masker = attack_detection.Masker(patch.astype(np.float32), float(scale),
+                                     name="Masker")
+    masker._patch_counter.assign(0)
+    ragged = tf.ragged.constant(boxes_list, ragged_rank=1, inner_shape=(4,),
+                                dtype=tf.float32)
+    patched, masks = masker([ragged, tf.constant(images)], training=training)
+    return patched.numpy(), masks.numpy()
+
+
+def _run_ours(images, boxes_list, patch, scale, training, max_boxes=4,
+              train_patches=None):
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.defense import masker as ml
+    b = images.shape[0]
+    boxes = np.zeros((b, max_boxes, 4), np.float32)
+    valid = np.zeros((b, max_boxes), bool)
+    for i, bl in enumerate(boxes_list):
+        for j, bx in enumerate(bl):
+            boxes[i, j] = bx
+            valid[i, j] = True
+    kwargs = dict(noise_mag=0.0, brightness_mag=0.0, rotation_mag=0.0,
+                  print_jitter=False, backend="gather")
+    if training:
+        kwargs.update(train_patches=jnp.asarray(train_patches),
+                      random_scale_range=None, adv_scale_override=scale,
+                      tolerance=0.0)
+        patched, targets = ml.apply_masker(
+            jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(valid), training=True, **kwargs)
+    else:
+        patched, targets = ml.apply_masker(
+            jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(valid), training=False,
+            adv_patch=jnp.asarray(patch), adv_scale=scale, **kwargs)
+    return np.asarray(patched), np.asarray(targets)
+
+
+def _compare(images, ref_patched, ref_masks, our_patched, our_targets,
+             interior_tol, band=3):
+    ref_mask = np.abs(ref_patched - images).max(-1) > 1e-6
+    our_mask = np.abs(our_patched - images).max(-1) > 1e-6
+    for i in range(images.shape[0]):
+        inter = ref_mask[i] & our_mask[i]
+        union = ref_mask[i] | our_mask[i]
+        assert inter.sum() > 100, "patched areas should overlap"
+        iou = inter.sum() / union.sum()
+        assert iou > 0.85, f"patched-region IoU {iou:.3f}"
+        interior = _erode(inter, band)
+        assert interior.sum() > 50, "interior should be non-empty"
+        d = np.abs(ref_patched[i] - our_patched[i]).max(-1)
+        assert d[interior].max() < interior_tol, (
+            f"interior patched diff {d[interior].max():.4f}")
+        # targets = original - patched inside the region on both sides
+        dt = np.abs(ref_masks[i] - our_targets[i]).max(-1)
+        assert dt[interior].max() < interior_tol, (
+            f"interior target diff {dt[interior].max():.4f}")
+
+
+def test_masker_eval_constant_patch(ref_env, monkeypatch):
+    """Eval mode (the real adversarial patch at its learned scale,
+    attack_detection.py:371-373,456): constant patch -> resampling-filter-
+    independent interior equality."""
+    tf = ref_env
+    images = _smooth_images(2, 128, seed=5)
+    patch = np.full((64, 64, 3), 0.37, np.float32)
+    boxes_list = [[[20.0, 30.0, 100.0, 70.0]],
+                  [[40.0, 50.0, 110.0, 120.0], [10.0, 10.0, 60.0, 44.0]]]
+    ref_p, ref_m = _run_reference_masker(tf, monkeypatch, images, boxes_list,
+                                         patch, 0.4, training=False)
+    our_p, our_t = _run_ours(images, boxes_list, patch, 0.4, training=False)
+    _compare(images, ref_p, ref_m, our_p, our_t, interior_tol=0.02)
+
+
+def test_masker_eval_ramp_patch(ref_env, monkeypatch):
+    """Linear-ramp patch: both resamplers have linear precision, so any
+    coordinate-mapping error (flip/transpose/offset) shows up as a big
+    interior diff; sub-pixel placement shifts stay ~ramp-slope-sized."""
+    tf = ref_env
+    images = _smooth_images(2, 128, seed=6)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    patch = np.stack([yy - 0.5, xx - 0.5, 0.5 * (yy + xx) - 0.5],
+                     axis=-1).astype(np.float32)
+    boxes_list = [[[24.0, 16.0, 104.0, 72.0]],
+                  [[30.0, 40.0, 96.0, 116.0]]]
+    ref_p, ref_m = _run_reference_masker(tf, monkeypatch, images, boxes_list,
+                                         patch, 0.45, training=False)
+    our_p, our_t = _run_ours(images, boxes_list, patch, 0.45, training=False)
+    _compare(images, ref_p, ref_m, our_p, our_t, interior_tol=0.08)
+
+
+def test_masker_training_self_supervised(ref_env, monkeypatch):
+    """Training mode: patches are 240x240 crops of the (pinned-shuffle)
+    batch, per-box scale at the U(.3,.5) midpoint, tolerance-.5 jitter
+    pinned to center (attack_detection.py:451-453,487-492)."""
+    tf = ref_env
+    images = _smooth_images(2, 256, seed=7)
+    crops = images[:, :240, :240, :]
+    boxes_list = [[[40.0, 60.0, 200.0, 140.0]],
+                  [[60.0, 80.0, 220.0, 230.0]]]
+    ref_p, ref_m = _run_reference_masker(tf, monkeypatch, images, boxes_list,
+                                         None, 0.4, training=True)
+    our_p, our_t = _run_ours(images, boxes_list, None, 0.4, training=True,
+                             train_patches=crops)
+    _compare(images, ref_p, ref_m, our_p, our_t, interior_tol=0.08)

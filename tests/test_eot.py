@@ -98,16 +98,12 @@ def _backend_pair(patch, scale, *, pin_rotation):
     kwargs = dict(tolerance=0.2, noise_mag=0.0, brightness_mag=0.3,
                   canvas_res=patch.shape[0])
     fn = eot.apply_patches.__wrapped__  # unjitted
-    old = eot.DEG20
-    try:
-        if pin_rotation:
-            eot.DEG20 = 0.0
-        out_mm, reg_mm = fn(key, imgs, boxes, valid, patch, scale,
-                            backend="matmul", window=80, **kwargs)
-        out_g, reg_g = fn(key, imgs, boxes, valid, patch, scale,
-                          backend="gather", window=None, **kwargs)
-    finally:
-        eot.DEG20 = old
+    if pin_rotation:
+        kwargs["rotation_mag"] = 0.0
+    out_mm, reg_mm = fn(key, imgs, boxes, valid, patch, scale,
+                        backend="matmul", window=80, **kwargs)
+    out_g, reg_g = fn(key, imgs, boxes, valid, patch, scale,
+                      backend="gather", window=None, **kwargs)
     return imgs, out_mm, reg_mm, out_g, reg_g
 
 
