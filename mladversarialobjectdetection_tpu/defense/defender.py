@@ -43,6 +43,15 @@ class DefenderMetrics(NamedTuple):
     # mean clean/adv/recovered detection scores for observability
     mean_clean_score: jnp.ndarray
     mean_adv_score: jnp.ndarray
+    # eval-only north-star metrics (NaN on train steps):
+    # recovery_psnr: PSNR (dB) of recover(patched) vs the clean image over
+    #   the patched region — quantifies background reconstruction (the
+    #   reference's whole defense story, demo.py:137-199, demo_v2.py:151-169)
+    # adr: attack-detection rate — fraction of patched images whose mean
+    #   person score RECOVERS by > 10 points after defender action, the
+    #   reference demo's detection rule (demo_v2.py:115-148, demo.py:157)
+    recovery_psnr: jnp.ndarray
+    adr: jnp.ndarray
 
 
 class PatchAttackDefender:
@@ -152,7 +161,8 @@ class PatchAttackDefender:
             mean_adv = _masked_mean(adv_scores, adv_valid)
         else:
             mean_adv = jnp.asarray(0.0)
-        metrics = DefenderMetrics(loss, mean_clean, mean_adv)
+        metrics = DefenderMetrics(loss, mean_clean, mean_adv,
+                                  jnp.asarray(jnp.nan), jnp.asarray(jnp.nan))
         return DefenderState(params, new_stats, opt_state, state.step + 1,
                              k_next), metrics
 
@@ -166,9 +176,10 @@ class PatchAttackDefender:
         boxes, clean_scores, valid = self.odet_boxes(images)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = valid[:, :self.max_boxes]
-        patched, targets = masker_lib.apply_masker(
+        patched, targets, region = masker_lib.apply_masker(
             k_mask, images, boxes, boxes_valid, training=False,
-            adv_patch=self.eval_patch, adv_scale=self.eval_scale)
+            adv_patch=self.eval_patch, adv_scale=self.eval_scale,
+            return_region=True)
         # second detector pass at score_thresh 0 (attack_detection.py:186-187)
         _, adv_scores, adv_valid = self.odet_boxes(patched, score_thresh=0.0)
 
@@ -179,10 +190,45 @@ class PatchAttackDefender:
         flat_updates = (2.0 * updates).reshape(b, -1)
         loss = jnp.sum(jnp.mean((flat_targets - flat_updates) ** 2, axis=1))
 
+        # -- north-star metrics over the recovered images -----------------
+        # recover() = clip(patched + 2*updates) (demo_v2.py:151-169)
+        recovered = jnp.clip(patched + 2.0 * updates, -1.0, 1.0)
+        _, rec_scores, rec_valid = self.odet_boxes(recovered,
+                                                   score_thresh=0.0)
+
+        # PSNR of the recovered background inside the patched region vs
+        # the clean image. Images live in [-1,1] (range 2.0), so
+        # 10*log10(range^2/mse) equals PSNR computed on 0-255 pixels.
+        reg = region.astype(jnp.float32)[..., None]            # [B,H,W,1]
+        se = jnp.sum(((recovered - images) ** 2) * reg, axis=(1, 2, 3))
+        n_px = jnp.sum(reg, axis=(1, 2, 3)) * 3.0              # [B]
+        has_region = n_px > 0
+        mse = se / jnp.maximum(n_px, 1.0)
+        psnr_i = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+        n_reg = jnp.sum(has_region)
+        recovery_psnr = jnp.where(
+            n_reg > 0,
+            jnp.sum(jnp.where(has_region, psnr_i, 0.0)) /
+            jnp.maximum(n_reg, 1),
+            jnp.nan)
+
+        # attack-detection rate: per-image mean person score recovers by
+        # > 10 points (0.10) after defender action (demo_v2.py:115-148)
+        adv_mean_i = _masked_mean_rows(adv_scores, adv_valid)
+        rec_mean_i = _masked_mean_rows(rec_scores, rec_valid)
+        detected = (rec_mean_i - adv_mean_i) > 0.10
+        adr = jnp.where(
+            n_reg > 0,
+            jnp.sum(jnp.where(has_region, detected.astype(jnp.float32), 0.0))
+            / jnp.maximum(n_reg, 1),
+            jnp.nan)
+
         return DefenderMetrics(
             loss,
             _masked_mean(clean_scores, valid),
-            _masked_mean(adv_scores, adv_valid))
+            _masked_mean(adv_scores, adv_valid),
+            recovery_psnr,
+            adr)
 
     def recover(self, state: DefenderState, images: jnp.ndarray) -> jnp.ndarray:
         """Neutralize patches: clip(image + 2*unet(image)) (demo_v2.py:151-169,
@@ -195,3 +241,9 @@ class PatchAttackDefender:
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     m = mask.astype(x.dtype)
     return jnp.sum(x * m) / (jnp.sum(m) + 1e-7)
+
+
+def _masked_mean_rows(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-image masked mean over the boxes axis: [B, M] -> [B]."""
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / (jnp.sum(m, axis=1) + 1e-7)

@@ -47,12 +47,15 @@ def apply_masker(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                  boxes_valid: jnp.ndarray, *, training: bool,
                  adv_patch: jnp.ndarray | None = None,
                  adv_scale: float | jnp.ndarray = 0.4,
-                 **eot_kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Plant patches; return (patched images, targets).
+                 return_region: bool = False,
+                 **eot_kwargs) -> Tuple[jnp.ndarray, ...]:
+    """Plant patches; return (patched images, targets[, region]).
 
     targets[b] = original[b] - patched[b] inside patched regions, else 0.
-    `eot_kwargs` pass through to eot.apply_patches (backend selection and
-    the randomness-pinning hooks used by the reference-parity tests).
+    `return_region=True` additionally returns the [B, H, W] bool patched-
+    region mask (used by the recovery-PSNR metric). `eot_kwargs` pass
+    through to eot.apply_patches (backend selection and the randomness-
+    pinning hooks used by the reference-parity tests).
     """
     k_patch, k_apply = jax.random.split(key)
     if training:
@@ -76,4 +79,6 @@ def apply_masker(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
             tolerance=eot_kwargs.pop("tolerance", 0.0),
             noise_mag=eot_kwargs.pop("noise_mag", NOISE_MAG), **eot_kwargs)
     targets = jnp.where(region[..., None], images - patched, 0.0)
+    if return_region:
+        return patched, targets, region
     return patched, targets

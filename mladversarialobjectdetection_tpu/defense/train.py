@@ -124,9 +124,21 @@ def train(model_name: str = "efficientdet-lite4", *,
         vals = [eval_step(state, next(val_iter), vi)
                 for vi in range(val_steps)]
         val_loss = float(np.mean([float(v.loss) for v in vals]))
-        mlog.log(step, {"loss": val_loss, "images_per_sec": ips,
+        # north-star defense metrics (BASELINE.json): recovery PSNR over
+        # the patched region + attack-detection rate; NaN-mean skips val
+        # batches where the victim found nobody to patch
+        def nanmean(xs):
+            xs = [x for x in xs if not np.isnan(x)]
+            return float(np.mean(xs)) if xs else float("nan")
+
+        val_psnr = nanmean([float(v.recovery_psnr) for v in vals])
+        val_adr = nanmean([float(v.adr) for v in vals])
+        mlog.log(step, {"loss": val_loss, "recovery_psnr": val_psnr,
+                        "adr": val_adr, "images_per_sec": ips,
                         "epoch": epoch}, prefix="val/")
-        logger.info(f"epoch {epoch}: val_loss={val_loss:.4f} {ips:.1f} img/s")
+        logger.info(f"epoch {epoch}: val_loss={val_loss:.4f} "
+                    f"psnr={val_psnr:.1f}dB adr={val_adr:.2f} "
+                    f"{ips:.1f} img/s")
 
         # split-violin of clean vs post-attack score distributions
         # (host-side replacement for the tfplot violin at
