@@ -85,18 +85,39 @@ class Detector:
         return post(self._params_dict, cls_out, box_out, image_scales=scales)
 
     def export(self, out_path: str, fmt: str = "stablehlo",
-               batch_size: int = 1) -> None:
+               batch_size: int = 1, quantize: str | None = None,
+               representative_frames=None) -> None:
         """Export the serve program (forward + postprocess, fixed shapes).
 
         fmt: 'stablehlo' (jax.export AOT artifact) | 'saved_model' (jax2tf)
-        | 'tflite' (SavedModel -> TFLite FP32). The artifacts are re-served
-        by inference.drivers.{StableHlo,SavedModel,Tflite}Driver — the
+        | 'tflite' (SavedModel -> TFLite). The artifacts are re-served by
+        inference.drivers.{StableHlo,SavedModel,Tflite}Driver — the
         reference's export -> SavedModelDriver/TfliteDriver story
-        (infer_lib.py:270-380, 455-564)."""
-        from . import export as export_lib
+        (infer_lib.py:270-380, 455-564).
 
-        def fn(images, scales):
-            return tuple(self._serve_impl(images, scales))
+        quantize (tflite only): None | 'fp16' | 'int8'. int8 requires
+        `representative_frames` — an iterable of raw HxWx3 uint8 frames
+        used as the post-training-quantization calibration set
+        (infer_lib.py:497-540); they are host-preprocessed exactly like
+        serve() inputs. Like the reference INT8 export (whose NMS stays a
+        float builtin op, infer_lib.py:534-539), the int8 artifact
+        contains the quantized network up to the TFLite-NMS-op inputs
+        (box encodings, class scores, center-size anchors); TfliteDriver
+        recognizes the 3-output layout and finishes with the same NMS
+        semantics, emitting tflite-contract Detections (normalized boxes).
+        """
+        from . import export as export_lib
+        from ..ops import postprocess as post_ops
+
+        if quantize == "int8":
+            def fn(images, scales):
+                cls_out, box_out = self.net.apply(self.variables, images,
+                                                  False)
+                return tuple(post_ops.tflite_pre_nms(self._params_dict,
+                                                     cls_out, box_out))
+        else:
+            def fn(images, scales):
+                return tuple(self._serve_impl(images, scales))
 
         example = (np.zeros((batch_size, *self.spec.image_size, 3),
                             np.float32),
@@ -107,9 +128,37 @@ class Detector:
             export_lib.export_saved_model(fn, example, out_path)
         elif fmt == "tflite":
             import tempfile
+
+            rep = None
+            if quantize == "int8":
+                if representative_frames is None:
+                    raise ValueError(
+                        "int8 export needs representative_frames")
+                from ..ops.preprocess import preprocess_host
+                frames = list(representative_frames)
+
+                def rep():
+                    for i in range(0, len(frames) - batch_size + 1,
+                                   batch_size):
+                        imgs, scales = [], []
+                        for f in frames[i:i + batch_size]:
+                            im, s = preprocess_host(
+                                np.asarray(f), self.config.image_size,
+                                self.config.mean_rgb,
+                                self.config.stddev_rgb)
+                            imgs.append(im)
+                            scales.append(s)
+                        # keyed by the named signature inputs: the
+                        # calibrator's positional order is not the
+                        # signature order
+                        yield {"images": np.stack(imgs).astype(np.float32),
+                               "scales": np.asarray(scales, np.float32)}
+
             with tempfile.TemporaryDirectory() as tmp:
-                export_lib.export_saved_model(fn, example, tmp)
-                export_lib.export_tflite(tmp, out_path)
+                export_lib.export_saved_model(
+                    fn, example, tmp, input_names=("images", "scales"))
+                export_lib.export_tflite(tmp, out_path, quantize=quantize,
+                                         representative_dataset=rep)
         else:
             raise ValueError(f"unknown export format {fmt}")
 

@@ -100,10 +100,24 @@ class TfliteDriver(_ArtifactDriver):
         self._img_key = next(
             n for n in names
             if len(self._runner.get_input_details()[n]["shape"]) == 4)
-        self._scale_key = next(n for n in names if n != self._img_key)
+        self._scale_key = next((n for n in names if n != self._img_key),
+                               None)
+        self._n_out = len(self._runner.get_output_details())
 
     def _predict(self, images, scales):
-        out = self._runner(**{self._img_key: images.astype(np.float32),
-                              self._scale_key: scales.astype(np.float32)})
-        # signature outputs keyed output_0..output_4 in flat order
-        return [out[f"output_{i}"] for i in range(len(_FIELDS))]
+        feeds = {self._img_key: images.astype(np.float32)}
+        if self._scale_key is not None:
+            feeds[self._scale_key] = scales.astype(np.float32)
+        out = self._runner(**feeds)
+        # signature outputs keyed output_0..output_N in flat order
+        outs = [out[f"output_{i}"] for i in range(self._n_out)]
+        if self._n_out == 3:
+            # int8 artifact layout: (box encodings, scores, anchors) — the
+            # TFLite-NMS op's inputs (the NMS itself is outside the
+            # quantized graph, matching the reference INT8 export); finish
+            # with the op's semantics. Boxes stay NORMALIZED (the tflite
+            # output contract, like Detector(post_mode='tflite')).
+            from ..ops.postprocess import tflite_detections_from_pre
+            det = tflite_detections_from_pre(self.config.as_dict(), *outs)
+            return list(det)
+        return outs

@@ -46,17 +46,23 @@ def load_stablehlo(path: str):
     return exported.call
 
 
-def export_saved_model(fn: Callable, example_args, out_dir: str) -> None:
-    """jax2tf conversion to a TF SavedModel (KerasDriver.export parity)."""
+def export_saved_model(fn: Callable, example_args, out_dir: str,
+                       input_names: Optional[Iterable[str]] = None) -> None:
+    """jax2tf conversion to a TF SavedModel (KerasDriver.export parity).
+
+    `input_names` (optional) names the signature inputs — needed when a
+    TFLite int8 calibration dataset must address inputs by name."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
+    names = list(input_names) if input_names else [None] * len(example_args)
     tf_fn = tf.function(
         jax2tf.convert(fn, with_gradient=False),
         autograph=False,
         input_signature=[
-            tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype))
-            for a in example_args
+            tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype),
+                          name=n)
+            for a, n in zip(example_args, names)
         ])
     module = tf.Module()
     module.serve = tf_fn
@@ -80,7 +86,42 @@ def export_tflite(saved_model_dir: str, out_path: str, *,
         if representative_dataset is None:
             raise ValueError("int8 quantization needs a representative dataset")
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
-        converter.representative_dataset = representative_dataset
+        # The calibrator feeds list-valued samples POSITIONALLY in the
+        # flatbuffer's input-tensor order, which need not match the
+        # signature order (and dict-valued samples segfault TF's
+        # calibrator on jax2tf graphs). Resolve the true order from a
+        # cheap fp32 pre-conversion and reorder dict samples to lists.
+        base = tf.lite.TFLiteConverter.from_saved_model(
+            saved_model_dir).convert()
+        interp = tf.lite.Interpreter(model_content=base)
+        order = [d["name"] for d in interp.get_input_details()]
+
+        def ordered_rep():
+            for sample in representative_dataset():
+                if isinstance(sample, dict):
+                    out = []
+                    for name in order:
+                        key = next((k for k in sample if k in name), None)
+                        if key is None:
+                            raise KeyError(
+                                f"representative sample missing input "
+                                f"{name!r} (has {sorted(sample)})")
+                        out.append(np.asarray(sample[key]))
+                    yield out
+                else:
+                    yield sample
+
+        converter.representative_dataset = ordered_rep
+        # the serve program ends in NMS-style ops post-training quant can't
+        # int8-ize; allow float builtins as fallback, exactly like the
+        # reference export (infer_lib.py:534-539). IO stays float — our
+        # TfliteDriver feeds preprocessed f32 (images, scales), unlike the
+        # reference's uint8 image-only signature.
+        converter.experimental_new_quantizer = True
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+        ]
     blob = converter.convert()
     with open(out_path, "wb") as f:
         f.write(blob)

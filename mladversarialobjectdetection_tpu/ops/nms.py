@@ -94,7 +94,10 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         live_scores, out_idx, out_scores, out_valid = state
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
-        ok = best_score >= score_t
+        # a NEG_INF winner is a suppressed/masked candidate (or an
+        # exhausted pool) — never a valid detection, even when no score
+        # threshold is set (score_t == NEG_INF)
+        ok = (best_score >= score_t) & (best_score > 0.5 * NEG_INF)
 
         out_idx = out_idx.at[i].set(jnp.where(ok, best, 0))
         out_scores = out_scores.at[i].set(jnp.where(ok, best_score, 0.0))

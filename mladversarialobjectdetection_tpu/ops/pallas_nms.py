@@ -59,7 +59,9 @@ def _nms_kernel(boxes_ref, boxest_ref, scores_ref, idx_ref, score_ref,
     def body(i, live):
         best_score = jnp.max(live)
         best = jnp.argmax(live[0, :]).astype(jnp.int32)
-        ok = best_score >= score_t
+        # selection-identical to ops/nms.py: a NEG_INF winner (suppressed,
+        # masked, or exhausted pool) is never valid
+        ok = (best_score >= score_t) & (best_score > 0.5 * NEG_INF)
 
         idx_ref[pl.ds(i, 1), :] = jnp.where(ok, best, 0).reshape(1, 1)
         score_ref[pl.ds(i, 1), :] = jnp.where(ok, best_score,

@@ -285,6 +285,20 @@ def postprocess_tflite(params, cls_outputs, box_outputs) -> Detections:
     """
     box_enc, scores, decoded_anchors = tflite_pre_nms(
         params, list(cls_outputs), list(box_outputs))
+    return tflite_detections_from_pre(params, box_enc, scores,
+                                      decoded_anchors)
+
+
+def tflite_detections_from_pre(params, box_enc, scores,
+                               decoded_anchors) -> Detections:
+    """TFLite custom-NMS-op semantics on the pre-NMS triple.
+
+    Split out so int8 TFLite artifacts — which, like the reference INT8
+    export, contain only the quantized network up to the NMS op's inputs
+    (infer_lib.py:534-539 keeps the NMS itself a float builtin) — can be
+    re-served: the TfliteDriver dequantizes the triple and finishes with
+    this function.
+    """
     nms_cfg = params["nms_configs"]
     get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
     iou_thresh = get("iou_thresh") or 0.5

@@ -116,3 +116,55 @@ def test_stablehlo_detector(tmp_path, tiny_detector, rand_images):
     ref_boxes, ref_scores, ref_valid = fwd(rand_images)
     assert np.allclose(np.asarray(boxes), np.asarray(ref_boxes), atol=1e-4)
     assert np.allclose(np.asarray(scores), np.asarray(ref_scores), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tflite_int8_export_reserves(tmp_path):
+    """INT8 post-training quantization with a representative dataset
+    (infer_lib.py:497-540) -> TfliteDriver re-serve with bounded
+    disagreement vs the fp32 tflite-mode serve. Like the reference INT8
+    export, the quantized artifact ends at the TFLite-NMS op's inputs
+    (the NMS stays float); the driver recognizes the 3-output layout and
+    finishes with the same NMS semantics."""
+    pytest.importorskip("tensorflow")
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.inference.drivers import (
+        TfliteDriver)
+    det, raw, _ = _tiny_served_detector()
+    rng = np.random.RandomState(11)
+    rep_frames = [rng.uniform(0, 255, (80, 100, 3)).astype(np.uint8)
+                  for _ in range(8)]
+    path = str(tmp_path / "det_int8.tflite")
+    det.export(path, fmt="tflite", batch_size=2, quantize="int8",
+               representative_frames=rep_frames)
+    assert int(__import__("os").path.getsize(path)) > 0
+
+    # fp32 reference with identical output contract: tflite post-mode
+    # (normalized boxes, per-anchor max class), same weights
+    ref_det = Detector(model_name="efficientdet-lite0", params=TINY,
+                       post_mode="tflite")
+    ref_det.variables = det.variables
+    ref = ref_det.serve(raw)
+
+    driver = TfliteDriver(path, model_name="efficientdet-lite0", params=TINY)
+    out = driver.serve(raw)
+    # int8 activations shift scores; near-tie candidates can reorder on
+    # the flat random-weight score field, so compare as score SETS plus a
+    # quantization-error bound on each slot
+    ref_s = np.sort(np.asarray(ref.scores) * np.asarray(ref.valid), axis=1)
+    out_s = np.sort(np.asarray(out.scores) * np.asarray(out.valid), axis=1)
+    assert out_s.shape == ref_s.shape
+    delta = np.abs(out_s - ref_s).max()
+    assert delta < 0.15, f"int8 score delta {delta}"
+    # boxes are normalized [0,1]-ish (tflite contract) on both sides
+    vb = np.asarray(out.boxes)[np.asarray(out.valid).astype(bool)]
+    if vb.size:
+        assert float(vb.max()) < 1.5 and float(vb.min()) > -0.5
+
+
+@pytest.mark.slow
+def test_tflite_int8_requires_representative(tmp_path):
+    det, raw, ref = _tiny_served_detector()
+    with pytest.raises(ValueError, match="representative"):
+        det.export(str(tmp_path / "x.tflite"), fmt="tflite",
+                   quantize="int8")
