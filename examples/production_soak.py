@@ -1,0 +1,232 @@
+"""Production-geometry end-to-end soak: lite4@640 victim, window-320 EOT.
+
+The full reference workflow at the reference's own operating point
+(attacker_train.py:17,45: efficientdet-lite4 @ 640, the geometry every
+component-level benchmark and golden test targets), self-contained on
+synthetic scenes (no network egress in this environment):
+
+1. supervised-train a full efficientdet-lite4 @ 640 (90-class head,
+   person = class 0) on structured synthetic scenes until it confidently
+   detects the "persons" (detection gate enforced);
+2. attack it with the SHIPPED driver operating point — batch 24, bf16,
+   pre_nms_topk 256, composite window 320, score/iou .5 — long enough to
+   show mean_max_score falling and the patch scale shrinking with live
+   EOT slots every step;
+3. train the defender (b24, bf16) against the learned patch to a
+   reference-style `patch_{epoch}_{val_loss}` artifact, reporting the
+   north-star metrics: recovery PSNR over the patched region and the
+   attack-detection rate.
+
+Writes a JSON trajectory next to --save-dir for docs/E2E_RESULTS.md.
+
+Run (TPU):  python examples/production_soak.py --save-dir /tmp/soak
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def synthetic_person_batch(rng, batch, hw=640, min_boxes=1, max_boxes=5,
+                           slots=16):
+    """640px scenes: smooth background + 1-5 person-shaped rectangles per
+    image with the documented typical geometry (heights 150-400 px,
+    aspect .3-.5 — the bench live-slot distribution)."""
+    bg = rng.uniform(-0.7, -0.1, (batch, 1, 1, 3)).astype(np.float32)
+    gy = np.linspace(-0.15, 0.15, hw, dtype=np.float32)[None, :, None, None]
+    imgs = np.broadcast_to(bg[:, None], (batch, hw, hw, 3)).copy()
+    imgs += gy  # vertical lighting gradient
+    imgs += rng.normal(0, 0.03, imgs.shape).astype(np.float32)
+    boxes = np.zeros((batch, slots, 4), np.float32)
+    valid = np.zeros((batch, slots), bool)
+    classes = np.zeros((batch, slots), np.int32)
+    for b in range(batch):
+        n = rng.integers(min_boxes, max_boxes + 1)
+        for k in range(n):
+            h = rng.integers(150, 400)
+            w = int(h * rng.uniform(0.3, 0.5))
+            y0 = rng.integers(0, hw - h)
+            x0 = rng.integers(0, hw - w)
+            color = rng.uniform(0.3, 1.0, 3)
+            # body + darker "head" band: structured, not flat
+            imgs[b, y0:y0 + h, x0:x0 + w] = color
+            head_h = max(8, h // 5)
+            imgs[b, y0:y0 + head_h, x0:x0 + w] = color * 0.6
+            boxes[b, k] = (y0, x0, y0 + h, x0 + w)
+            valid[b, k] = True
+    return np.clip(imgs, -1, 1), boxes, classes, valid
+
+
+def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
+         batch=24, seed=0, log_every=50):
+    import mladversarialobjectdetection_tpu as mad
+    from mladversarialobjectdetection_tpu.attack import artifacts
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    from mladversarialobjectdetection_tpu.ckpt import io as ckpt_io
+    from mladversarialobjectdetection_tpu.defense.defender import \
+        PatchAttackDefender
+    from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
+    from mladversarialobjectdetection_tpu.utils.debug import \
+        enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(save_dir, exist_ok=True)
+    record = {"config": {"model": "efficientdet-lite4", "image_size": 640,
+                         "batch": batch, "window": 320, "bf16": True,
+                         "pre_nms_topk": 256, "det_steps": det_steps,
+                         "attack_steps": attack_steps,
+                         "defend_steps": defend_steps}}
+
+    cfg = mad.get_efficientdet_config("efficientdet-lite4")
+    # the shipped attack driver operating point (attack/train.py defaults)
+    cfg.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5,
+                            "pre_nms_topk": 256})
+    cfg.mixed_precision = True
+    cfg.learning_rate = 0.08
+    cfg.lr_warmup_init = 0.004
+    cfg.optimizer = "sgd"
+    cfg.moving_average_decay = 0.0
+
+    rng = np.random.default_rng(seed)
+    hw = 640
+
+    # -- 1. victim training at full geometry ------------------------------
+    trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    t0 = time.time()
+    for i in range(det_steps):
+        imgs, boxes, classes, valid = synthetic_person_batch(rng, batch, hw)
+        state, metrics = step_fn(state, imgs, boxes, classes, valid)
+        if (i + 1) % 100 == 0:
+            print(f"[victim] step {i+1}: loss={float(metrics['loss']):.3f} "
+                  f"({(i+1)*batch/(time.time()-t0):.1f} img/s)", flush=True)
+    det_vars = trainer.eval_variables(state, use_ema=False)
+    del state
+
+    # -- detection gate ----------------------------------------------------
+    attacker = PatchAttacker(cfg, det_vars, window=320)
+    imgs, _, _, gt_valid = synthetic_person_batch(rng, batch, hw)
+    _, scores, valid = jax.jit(attacker.first_pass)(jnp.asarray(imgs))
+    valid = np.asarray(valid)
+    n_det = int(valid.sum())
+    mean_score = float((np.asarray(scores) * valid).sum() / max(1, n_det))
+    live_per_img = valid[:, :attacker.max_boxes].sum(1)
+    print(f"[victim] gate: {n_det} detections on {batch} scenes "
+          f"({int(gt_valid.sum())} ground-truth persons), mean score "
+          f"{mean_score:.3f}, live slots/img mean {live_per_img.mean():.1f} "
+          f"max {live_per_img.max()}", flush=True)
+    record["victim"] = {"detections": n_det,
+                        "gt_persons": int(gt_valid.sum()),
+                        "mean_score": mean_score,
+                        "live_slots_mean": float(live_per_img.mean()),
+                        "live_slots_max": int(live_per_img.max())}
+    if n_det < batch:  # fewer than ~1 per image -> attack would be vacuous
+        print("[victim] GATE FAILED: detector too weak, aborting soak",
+              flush=True)
+        record["gate"] = "FAILED"
+        json.dump(record, open(os.path.join(save_dir, "soak.json"), "w"),
+                  indent=1)
+        return record
+
+    # -- 2. attack soak at the benched operating point ---------------------
+    astate = attacker.init_state(jax.random.PRNGKey(seed + 1))
+    import functools
+    atk_fast = jax.jit(functools.partial(attacker.train_step, with_asr=False),
+                       donate_argnums=0)
+    atk_logged = jax.jit(functools.partial(attacker.train_step, with_asr=True),
+                         donate_argnums=0)
+    traj = []
+    t0 = time.time()
+    for i in range(attack_steps):
+        imgs, _, _, _ = synthetic_person_batch(rng, batch, hw)
+        logged = (i + 1) % log_every == 0 or i == 0
+        step = atk_logged if logged else atk_fast
+        astate, m = step(astate, jnp.asarray(imgs))
+        if logged:
+            row = {"step": i + 1,
+                   "mean_max_score": float(m.mean_max_score),
+                   "asr": float(m.asr), "scale": float(m.scale),
+                   "loss": float(m.loss),
+                   "img_per_sec": (i + 1) * batch / (time.time() - t0)}
+            traj.append(row)
+            print(f"[attack] step {row['step']}: "
+                  f"mean_max_score={row['mean_max_score']:.3f} "
+                  f"asr={row['asr']:.3f} scale={row['scale']:.3f} "
+                  f"({row['img_per_sec']:.1f} img/s)", flush=True)
+    record["attack_trajectory"] = traj
+    patch_dir = os.path.join(
+        save_dir, f"patch_{attack_steps}_{traj[-1]['asr']:.3f}")
+    artifacts.save_patch_dir(patch_dir, np.asarray(astate.patch),
+                             float(astate.scale))
+    record["attack_artifact"] = patch_dir
+    print(f"[attack] artifact: {patch_dir}", flush=True)
+
+    # -- 3. defender training against the learned patch --------------------
+    defender = PatchAttackDefender(cfg, det_vars,
+                                   eval_patch=np.asarray(astate.patch),
+                                   eval_scale=float(astate.scale),
+                                   learning_rate=1e-2)
+    dstate = defender.init_state(jax.random.PRNGKey(seed + 2))
+    d_step = jax.jit(defender.train_step, donate_argnums=0,
+                     static_argnames=("with_adv_scores",))
+    d_eval = jax.jit(defender.eval_step)
+    dtraj = []
+    t0 = time.time()
+    for i in range(defend_steps):
+        imgs, _, _, _ = synthetic_person_batch(rng, batch, hw)
+        dstate, dm = d_step(dstate, jnp.asarray(imgs))
+        if (i + 1) % log_every == 0:
+            evs = [d_eval(dstate,
+                          jnp.asarray(synthetic_person_batch(rng, batch,
+                                                             hw)[0]), vi)
+                   for vi in range(2)]
+            row = {"step": i + 1,
+                   "train_loss": float(dm.loss),
+                   "val_loss": float(np.mean([float(e.loss) for e in evs])),
+                   "recovery_psnr": float(np.nanmean(
+                       [float(e.recovery_psnr) for e in evs])),
+                   "adr": float(np.nanmean([float(e.adr) for e in evs])),
+                   "mean_adv_score": float(np.mean(
+                       [float(e.mean_adv_score) for e in evs])),
+                   "img_per_sec": (i + 1) * batch / (time.time() - t0)}
+            dtraj.append(row)
+            print(f"[defense] step {row['step']}: "
+                  f"val_loss={row['val_loss']:.4f} "
+                  f"psnr={row['recovery_psnr']:.1f}dB adr={row['adr']:.2f} "
+                  f"({row['img_per_sec']:.1f} img/s)", flush=True)
+    record["defense_trajectory"] = dtraj
+    final = dtraj[-1]
+    dd = os.path.join(save_dir,
+                      f"patch_{defend_steps}_{final['val_loss']:.4f}",
+                      "antipatch")
+    ckpt_io.save_pytree(dd, {"params": dstate.params,
+                             "batch_stats": dstate.batch_stats})
+    record["defense_artifact"] = dd
+    print(f"[defense] artifact: {dd}", flush=True)
+
+    json.dump(record, open(os.path.join(save_dir, "soak.json"), "w"),
+              indent=1)
+    print(f"[soak] record: {os.path.join(save_dir, 'soak.json')}", flush=True)
+    return record
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--save-dir", default="/tmp/soak")
+    p.add_argument("--det-steps", type=int, default=800)
+    p.add_argument("--attack-steps", type=int, default=1000)
+    p.add_argument("--defend-steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=24)
+    a = p.parse_args()
+    main(a.save_dir, a.det_steps, a.attack_steps, a.defend_steps, a.batch)

@@ -68,14 +68,19 @@ def main(save_dir: str, input_file: Optional[str] = None, *,
          defender_weights: Optional[str] = None,
          model_name: str = "efficientdet-lite4",
          detector_ckpt: Optional[str] = None,
+         detector_params: Optional[dict] = None,
          set_width: int = 640, max_frames: Optional[int] = None):
     import cv2
 
     os.makedirs(save_dir, exist_ok=True)
     stream = Stream(input_file, set_width=set_width)
-    detector = Detector(
-        model_name=model_name, ckpt_path=detector_ckpt,
-        params={"nms_configs": {"iou_thresh": 0.5, "score_thresh": 0.0}})
+    params = dict(detector_params or {})
+    nms = dict(params.get("nms_configs") or {})
+    nms.setdefault("iou_thresh", 0.5)
+    nms.setdefault("score_thresh", 0.0)
+    params["nms_configs"] = nms
+    detector = Detector(model_name=model_name, ckpt_path=detector_ckpt,
+                        params=params)
 
     if patch_dir:
         patch_np, scale = artifacts.load_patch_dir(patch_dir)
