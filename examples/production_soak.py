@@ -44,9 +44,13 @@ def synthetic_person_batch(rng, batch, hw=640, min_boxes=1, max_boxes=5,
     aspect .3-.5 — the bench live-slot distribution)."""
     bg = rng.uniform(-0.7, -0.1, (batch, 1, 1, 3)).astype(np.float32)
     gy = np.linspace(-0.15, 0.15, hw, dtype=np.float32)[None, :, None, None]
-    imgs = np.broadcast_to(bg[:, None], (batch, hw, hw, 3)).copy()
+    imgs = np.broadcast_to(bg, (batch, hw, hw, 3)).copy()
     imgs += gy  # vertical lighting gradient
-    imgs += rng.normal(0, 0.03, imgs.shape).astype(np.float32)
+    # f32 noise, tiled from a small panel: a full 24x640x640x3 f64 normal
+    # draw costs ~6 s/batch on this host and starves the chip
+    panel = rng.standard_normal((hw // 4, hw // 4, 3),
+                                dtype=np.float32) * 0.03
+    imgs += np.tile(panel, (4, 4, 1))[None]
     boxes = np.zeros((batch, slots, 4), np.float32)
     valid = np.zeros((batch, slots), bool)
     classes = np.zeros((batch, slots), np.int32)
@@ -65,6 +69,34 @@ def synthetic_person_batch(rng, batch, hw=640, min_boxes=1, max_boxes=5,
             boxes[b, k] = (y0, x0, y0 + h, x0 + w)
             valid[b, k] = True
     return np.clip(imgs, -1, 1), boxes, classes, valid
+
+
+class ScenePool:
+    """Pre-rendered scene pool: full 640px scene synthesis costs ~1.4 s/batch
+    on this host (chip-starving); sampling + mirror-augmenting from a fixed
+    pool is ~60 ms/batch and keeps the TPU busy."""
+
+    def __init__(self, rng, n_batches=12, batch=24, hw=640):
+        parts = [synthetic_person_batch(rng, batch, hw)
+                 for _ in range(n_batches)]
+        self.imgs = np.concatenate([p[0] for p in parts])
+        self.boxes = np.concatenate([p[1] for p in parts])
+        self.classes = np.concatenate([p[2] for p in parts])
+        self.valid = np.concatenate([p[3] for p in parts])
+        self.hw = hw
+
+    def sample(self, rng, batch):
+        idx = rng.choice(self.imgs.shape[0], batch, replace=False)
+        imgs = self.imgs[idx]
+        boxes = self.boxes[idx].copy()
+        flip = rng.random(batch) < 0.5
+        imgs = np.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        w = float(self.hw)
+        xmin = boxes[..., 1].copy()
+        xmax = boxes[..., 3].copy()
+        boxes[..., 1] = np.where(flip[:, None], w - xmax, xmin)
+        boxes[..., 3] = np.where(flip[:, None], w - xmin, xmax)
+        return imgs, boxes, self.classes[idx], self.valid[idx]
 
 
 def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
@@ -99,6 +131,9 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
 
     rng = np.random.default_rng(seed)
     hw = 640
+    print("[soak] building scene pool...", flush=True)
+    pool = ScenePool(rng, n_batches=12, batch=batch, hw=hw)
+    print(f"[soak] pool ready: {pool.imgs.shape[0]} scenes", flush=True)
 
     # -- 1. victim training at full geometry ------------------------------
     trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
@@ -106,7 +141,7 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     t0 = time.time()
     for i in range(det_steps):
-        imgs, boxes, classes, valid = synthetic_person_batch(rng, batch, hw)
+        imgs, boxes, classes, valid = pool.sample(rng, batch)
         state, metrics = step_fn(state, imgs, boxes, classes, valid)
         if (i + 1) % 100 == 0:
             print(f"[victim] step {i+1}: loss={float(metrics['loss']):.3f} "
@@ -116,7 +151,7 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
 
     # -- detection gate ----------------------------------------------------
     attacker = PatchAttacker(cfg, det_vars, window=320)
-    imgs, _, _, gt_valid = synthetic_person_batch(rng, batch, hw)
+    imgs, _, _, gt_valid = pool.sample(rng, batch)
     _, scores, valid = jax.jit(attacker.first_pass)(jnp.asarray(imgs))
     valid = np.asarray(valid)
     n_det = int(valid.sum())
@@ -149,7 +184,7 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     traj = []
     t0 = time.time()
     for i in range(attack_steps):
-        imgs, _, _, _ = synthetic_person_batch(rng, batch, hw)
+        imgs, _, _, _ = pool.sample(rng, batch)
         logged = (i + 1) % log_every == 0 or i == 0
         step = atk_logged if logged else atk_fast
         astate, m = step(astate, jnp.asarray(imgs))
@@ -184,12 +219,11 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     dtraj = []
     t0 = time.time()
     for i in range(defend_steps):
-        imgs, _, _, _ = synthetic_person_batch(rng, batch, hw)
+        imgs, _, _, _ = pool.sample(rng, batch)
         dstate, dm = d_step(dstate, jnp.asarray(imgs))
         if (i + 1) % log_every == 0:
-            evs = [d_eval(dstate,
-                          jnp.asarray(synthetic_person_batch(rng, batch,
-                                                             hw)[0]), vi)
+            evs = [d_eval(dstate, jnp.asarray(pool.sample(rng, batch)[0]),
+                          vi)
                    for vi in range(2)]
             row = {"step": i + 1,
                    "train_loss": float(dm.loss),

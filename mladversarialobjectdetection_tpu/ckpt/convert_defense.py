@@ -163,3 +163,109 @@ def load_antipatch(path: str, variables):
     restored = ckpt_io.load_pytree(path)
     return {"params": restored["params"],
             "batch_stats": restored.get("batch_stats", {})}
+
+
+def _h5_weight_order():
+    """Per-layer keras weight order (trainables in creation order, then BN
+    moving stats) exactly as tf.keras save_weights emits for the reference
+    PatchNeutralizer — verified against a reference-written antipatch.h5."""
+    def conv_block(prefix):
+        train, stats = [], []
+        for j in (1, 2):
+            train += [(f"{prefix}/cnv{j}/kernel", ("params", f"cnv{j}",
+                                                  "kernel")),
+                      (f"{prefix}/cnv{j}/bias", ("params", f"cnv{j}",
+                                                 "bias")),
+                      (f"{prefix}/bn{j}/gamma", ("params", f"bn{j}",
+                                                 "scale")),
+                      (f"{prefix}/bn{j}/beta", ("params", f"bn{j}", "bias"))]
+            stats += [(f"{prefix}/bn{j}/moving_mean",
+                       ("batch_stats", f"bn{j}", "mean")),
+                      (f"{prefix}/bn{j}/moving_variance",
+                       ("batch_stats", f"bn{j}", "var"))]
+        return train, stats
+
+    layers = {}
+    for i in range(5):
+        name = f"conv{i}"
+        train, stats = conv_block(f"{name}/{name}")
+        layers[name] = [(n, (t[0], name) + tuple(t[1:]))
+                        for n, t in train + stats]
+    for i in range(4):
+        name = f"deconv{i}"
+        pre = f"{name}/{name}"
+        train = [(f"{pre}/cnv/kernel", ("params", name, "cnv", "kernel")),
+                 (f"{pre}/cnv/bias", ("params", name, "cnv", "bias"))]
+        stats = []
+        att = f"{pre}/attention/{name}/attention"
+        for ln, fx in (("cnv1", "cnv1"), ("bn1", "bn1"), ("cnv2", "cnv2"),
+                       ("bn2", "bn2"), ("conv3", "conv3"), ("bn3", "bn3")):
+            if ln.startswith("cnv") or ln.startswith("conv"):
+                train += [(f"{att}/{ln}/kernel",
+                           ("params", name, "attention", fx, "kernel")),
+                          (f"{att}/{ln}/bias",
+                           ("params", name, "attention", fx, "bias"))]
+            else:
+                train += [(f"{att}/{ln}/gamma",
+                           ("params", name, "attention", fx, "scale")),
+                          (f"{att}/{ln}/beta",
+                           ("params", name, "attention", fx, "bias"))]
+                stats += [(f"{att}/{ln}/moving_mean",
+                           ("batch_stats", name, "attention", fx, "mean")),
+                          (f"{att}/{ln}/moving_variance",
+                           ("batch_stats", name, "attention", fx, "var"))]
+        cb = f"{pre}/convblock/{name}/convblock"
+        for j in (1, 2):
+            train += [(f"{cb}/cnv{j}/kernel",
+                       ("params", name, "convblock", f"cnv{j}", "kernel")),
+                      (f"{cb}/cnv{j}/bias",
+                       ("params", name, "convblock", f"cnv{j}", "bias")),
+                      (f"{cb}/bn{j}/gamma",
+                       ("params", name, "convblock", f"bn{j}", "scale")),
+                      (f"{cb}/bn{j}/beta",
+                       ("params", name, "convblock", f"bn{j}", "bias"))]
+            stats += [(f"{cb}/bn{j}/moving_mean",
+                       ("batch_stats", name, "convblock", f"bn{j}", "mean")),
+                      (f"{cb}/bn{j}/moving_variance",
+                       ("batch_stats", name, "convblock", f"bn{j}", "var"))]
+        layers[name] = train + stats
+    layers["patch_neutralizer/output"] = [
+        ("patch_neutralizer/output/kernel", ("params", "output", "kernel")),
+        ("patch_neutralizer/output/bias", ("params", "output", "bias"))]
+    return layers
+
+
+def save_antipatch_h5(variables, path: str) -> None:
+    """Write our defender weights as a reference-format `antipatch.h5`.
+
+    The inverse of load_antipatch_h5: a file written here loads into the
+    reference `generator.PatchNeutralizer` via keras `load_weights`
+    (attack_detection.py:54-55), so defenders trained in this framework
+    are consumable by the reference demos. Layout (layer_names /
+    weight_names attrs, per-layer weight order) matches tf.keras's legacy
+    h5 writer bit-for-bit in structure."""
+    import h5py
+
+    def get(tree, p):
+        for k in p:
+            tree = tree[k]
+        return np.asarray(tree, np.float32)
+
+    layers = _h5_weight_order()
+    with h5py.File(path, "w") as f:
+        f.attrs["backend"] = np.bytes_(b"tensorflow")
+        f.attrs["keras_version"] = np.bytes_(b"2.21.0")
+        f.attrs["layer_names"] = np.array(
+            [np.bytes_(n.encode()) for n in layers])
+        for lname, weights in layers.items():
+            g = f.create_group(lname) if lname not in f else f[lname]
+            names = []
+            for wname, fpath in weights:
+                val = get(variables, fpath)
+                if (fpath[-1] == "kernel" and fpath[-2] == "cnv"
+                        and fpath[1].startswith("deconv")):
+                    # flax ConvTranspose -> keras Conv2DTranspose kernel
+                    val = np.transpose(val, (0, 1, 3, 2))[::-1, ::-1]
+                g.create_dataset(f"{wname}:0", data=val)
+                names.append(np.bytes_(f"{wname}:0".encode()))
+            g.attrs["weight_names"] = np.array(names)

@@ -157,10 +157,21 @@ def train(model_name: str = "efficientdet-lite4", *,
 
         if val_loss < best_val:
             best_val = val_loss
-            out = os.path.join(save_dir, f"patch_{epoch:02d}_{val_loss:.4f}",
-                               "antipatch")
-            ckpt_io.save_pytree(out, {"params": state.params,
-                                      "batch_stats": state.batch_stats})
+            art_dir = os.path.join(save_dir,
+                                   f"patch_{epoch:02d}_{val_loss:.4f}")
+            out = os.path.join(art_dir, "antipatch")
+            weights = {"params": state.params,
+                       "batch_stats": state.batch_stats}
+            ckpt_io.save_pytree(out, weights)
+            try:
+                # reference-consumable mirror (attack_detection.py:311-318;
+                # loads into generator.PatchNeutralizer via load_weights)
+                from ..ckpt.convert_defense import save_antipatch_h5
+                host = jax.tree.map(np.asarray, weights)
+                save_antipatch_h5(host, os.path.join(art_dir,
+                                                     "antipatch.h5"))
+            except Exception as e:  # h5py absent / replicated-sharding edge
+                logger.warning(f"antipatch.h5 mirror not written: {e}")
         new_opt = plateau.update(val_loss, state.opt_state)
         state = state._replace(opt_state=new_opt)
     mlog.close()

@@ -339,3 +339,29 @@ def test_masker_training_self_supervised(ref_env, monkeypatch):
     our_p, our_t = _run_ours(images, boxes_list, None, 0.4, training=True,
                              train_patches=crops)
     _compare(images, ref_p, ref_m, our_p, our_t, interior_tol=0.08)
+
+
+def test_save_antipatch_h5_loads_in_reference(ref_env, tmp_path):
+    """Interop the other way: OUR defender weights written by
+    save_antipatch_h5 load into the reference keras PatchNeutralizer via
+    load_weights and reproduce our forward — defenders trained here are
+    consumable by the reference demos (attack_detection.py:54-55)."""
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ckpt import convert_defense as cd
+    import generator
+    m, v = _our_unet()
+    rng = np.random.default_rng(9)
+    v = jax.tree.map(
+        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(np.float32),
+        v)
+    h5 = str(tmp_path / "ours.h5")
+    cd.save_antipatch_h5(v, h5)
+    ref_env.keras.backend.clear_session()
+    ref = generator.define_model(64, generator.PatchNeutralizer)
+    ref.load_weights(h5)
+    x = np.random.default_rng(4).uniform(-1, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    y_ref = ref(x, training=False).numpy()
+    y = np.asarray(m.apply(v, jnp.asarray(x), False))
+    assert np.abs(y - y_ref).max() < 1e-4
