@@ -72,25 +72,40 @@ def synthetic_person_batch(rng, batch, hw=640, min_boxes=1, max_boxes=5,
 
 
 class ScenePool:
-    """Pre-rendered scene pool: full 640px scene synthesis costs ~1.4 s/batch
-    on this host (chip-starving); sampling + mirror-augmenting from a fixed
-    pool is ~60 ms/batch and keeps the TPU busy."""
+    """Pre-rendered ON-DEVICE scene pool.
+
+    Two host costs starve the chip in this environment: full 640px scene
+    synthesis (~1.4 s/batch) and — far worse — the host->device upload of
+    each [24,640,640,3] f32 batch (~118 MB/step) through the dev tunnel.
+    So the pool is synthesized once, uploaded once, and every step's
+    batch is a jitted on-device gather + mirror; only the index/flip
+    vectors (a few dozen bytes) cross the tunnel per step."""
 
     def __init__(self, rng, n_batches=12, batch=24, hw=640):
+        import jax
+        import jax.numpy as jnp
         parts = [synthetic_person_batch(rng, batch, hw)
                  for _ in range(n_batches)]
-        self.imgs = np.concatenate([p[0] for p in parts])
+        self.imgs_dev = jax.device_put(
+            np.concatenate([p[0] for p in parts]))
+        self.n = int(self.imgs_dev.shape[0])
         self.boxes = np.concatenate([p[1] for p in parts])
         self.classes = np.concatenate([p[2] for p in parts])
         self.valid = np.concatenate([p[3] for p in parts])
         self.hw = hw
 
+        @jax.jit
+        def gather(pool, idx, flip):
+            b = pool[idx]
+            return jnp.where(flip[:, None, None, None], b[:, :, ::-1, :], b)
+
+        self._gather = gather
+
     def sample(self, rng, batch):
-        idx = rng.choice(self.imgs.shape[0], batch, replace=False)
-        imgs = self.imgs[idx]
-        boxes = self.boxes[idx].copy()
+        idx = rng.choice(self.n, batch, replace=False)
         flip = rng.random(batch) < 0.5
-        imgs = np.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        imgs = self._gather(self.imgs_dev, idx, flip)
+        boxes = self.boxes[idx].copy()
         w = float(self.hw)
         xmin = boxes[..., 1].copy()
         xmax = boxes[..., 3].copy()
