@@ -94,9 +94,14 @@ class ScenePool:
         self.valid = np.concatenate([p[3] for p in parts])
         self.hw = hw
 
+        pool_dev = self.imgs_dev
+
+        # close over the pool: on this platform, jit ARGUMENTS re-upload
+        # through the tunnel every call (see BENCH_NOTES measurement
+        # methodology); closed-over constants stay resident
         @jax.jit
-        def gather(pool, idx, flip):
-            b = pool[idx]
+        def gather(idx, flip):
+            b = pool_dev[idx]
             return jnp.where(flip[:, None, None, None], b[:, :, ::-1, :], b)
 
         self._gather = gather
@@ -104,7 +109,7 @@ class ScenePool:
     def sample(self, rng, batch):
         idx = rng.choice(self.n, batch, replace=False)
         flip = rng.random(batch) < 0.5
-        imgs = self._gather(self.imgs_dev, idx, flip)
+        imgs = self._gather(idx, flip)
         boxes = self.boxes[idx].copy()
         w = float(self.hw)
         xmin = boxes[..., 1].copy()
@@ -115,7 +120,7 @@ class ScenePool:
 
 
 def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
-         batch=24, seed=0, log_every=50):
+         batch=24, seed=0, log_every=50, victim_ckpt=None):
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.attack import artifacts
     from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
@@ -148,21 +153,30 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     hw = 640
     print("[soak] building scene pool...", flush=True)
     pool = ScenePool(rng, n_batches=12, batch=batch, hw=hw)
-    print(f"[soak] pool ready: {pool.imgs.shape[0]} scenes", flush=True)
+    print(f"[soak] pool ready: {pool.n} scenes", flush=True)
 
     # -- 1. victim training at full geometry ------------------------------
-    trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
-    state = trainer.init_state(jax.random.PRNGKey(seed))
-    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
-    t0 = time.time()
-    for i in range(det_steps):
-        imgs, boxes, classes, valid = pool.sample(rng, batch)
-        state, metrics = step_fn(state, imgs, boxes, classes, valid)
-        if (i + 1) % 100 == 0:
-            print(f"[victim] step {i+1}: loss={float(metrics['loss']):.3f} "
-                  f"({(i+1)*batch/(time.time()-t0):.1f} img/s)", flush=True)
-    det_vars = trainer.eval_variables(state, use_ema=False)
-    del state
+    victim_path = os.path.join(save_dir, "victim_ckpt")
+    if victim_ckpt:
+        print(f"[victim] loading {victim_ckpt}", flush=True)
+        det_vars = ckpt_io.load_pytree(victim_ckpt)
+    else:
+        trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
+        state = trainer.init_state(jax.random.PRNGKey(seed))
+        step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+        t0 = time.time()
+        for i in range(det_steps):
+            imgs, boxes, classes, valid = pool.sample(rng, batch)
+            state, metrics = step_fn(state, imgs, boxes, classes, valid)
+            if (i + 1) % 100 == 0:
+                print(f"[victim] step {i+1}: "
+                      f"loss={float(metrics['loss']):.3f} "
+                      f"({(i+1)*batch/(time.time()-t0):.1f} img/s)",
+                      flush=True)
+        det_vars = trainer.eval_variables(state, use_ema=False)
+        del state
+        ckpt_io.save_pytree(victim_path, jax.tree.map(np.asarray, det_vars))
+        print(f"[victim] saved {victim_path}", flush=True)
 
     # -- detection gate ----------------------------------------------------
     attacker = PatchAttacker(cfg, det_vars, window=320)
@@ -277,5 +291,8 @@ if __name__ == "__main__":
     p.add_argument("--attack-steps", type=int, default=1000)
     p.add_argument("--defend-steps", type=int, default=400)
     p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--victim-ckpt", default=None,
+                   help="reuse a saved victim instead of retraining")
     a = p.parse_args()
-    main(a.save_dir, a.det_steps, a.attack_steps, a.defend_steps, a.batch)
+    main(a.save_dir, a.det_steps, a.attack_steps, a.defend_steps, a.batch,
+         victim_ckpt=a.victim_ckpt)
