@@ -212,15 +212,25 @@ class PatchAttackDefender:
             jnp.maximum(n_reg, 1),
             jnp.nan)
 
-        # attack-detection rate: per-image mean person score recovers by
-        # > 10 points (0.10) after defender action (demo_v2.py:115-148)
-        adv_mean_i = _masked_mean_rows(adv_scores, adv_valid)
-        rec_mean_i = _masked_mean_rows(rec_scores, rec_valid)
-        detected = (rec_mean_i - adv_mean_i) > 0.10
+        # attack-detection rate — the demo's exact rule (demo_v2.py:28,
+        # 48-55, 136-141): per-image score = MAX detection score after a
+        # .55 threshold filter (0 if none); an attack counts as detected
+        # when the clean image was confidently detected (clean > .55) and
+        # defender action recovers the score by > 10 points.
+        def max_above(scores, valid, thresh=0.55):
+            s = jnp.where(valid & (scores >= thresh), scores, 0.0)
+            return jnp.max(s, axis=1)                          # [B]
+
+        clean_i = max_above(clean_scores, valid)
+        adv_i = max_above(adv_scores, adv_valid)
+        rec_i = max_above(rec_scores, rec_valid)
+        eligible = (clean_i > 0.55) & has_region
+        detected = (rec_i - adv_i) > 0.10
+        n_elig = jnp.sum(eligible)
         adr = jnp.where(
-            n_reg > 0,
-            jnp.sum(jnp.where(has_region, detected.astype(jnp.float32), 0.0))
-            / jnp.maximum(n_reg, 1),
+            n_elig > 0,
+            jnp.sum(jnp.where(eligible, detected.astype(jnp.float32), 0.0))
+            / jnp.maximum(n_elig, 1),
             jnp.nan)
 
         return DefenderMetrics(
@@ -241,9 +251,3 @@ class PatchAttackDefender:
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     m = mask.astype(x.dtype)
     return jnp.sum(x * m) / (jnp.sum(m) + 1e-7)
-
-
-def _masked_mean_rows(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-image masked mean over the boxes axis: [B, M] -> [B]."""
-    m = mask.astype(x.dtype)
-    return jnp.sum(x * m, axis=1) / (jnp.sum(m, axis=1) + 1e-7)
