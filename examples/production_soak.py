@@ -94,17 +94,16 @@ class ScenePool:
         self.valid = np.concatenate([p[3] for p in parts])
         self.hw = hw
 
-        pool_dev = self.imgs_dev
-
-        # close over the pool: on this platform, jit ARGUMENTS re-upload
-        # through the tunnel every call (see BENCH_NOTES measurement
-        # methodology); closed-over constants stay resident
-        @jax.jit
-        def gather(idx, flip):
-            b = pool_dev[idx]
-            return jnp.where(flip[:, None, None, None], b[:, :, ::-1, :], b)
-
-        self._gather = gather
+    def _gather(self, idx, flip):
+        # EAGER on-device ops, deliberately not jit: a jit closure would
+        # bake the ~1.4 GB pool into the program as a constant, and on
+        # this platform constants ship inside the remote-compile request
+        # (observed HTTP 413 "length limit exceeded"); jit *arguments*
+        # re-upload through the tunnel every call (BENCH_NOTES). Eager
+        # keeps the pool resident and sends only idx/flip per step.
+        b = jnp.take(self.imgs_dev, jnp.asarray(idx), axis=0)
+        flip_d = jnp.asarray(flip)[:, None, None, None]
+        return jnp.where(flip_d, b[:, :, ::-1, :], b)
 
     def sample(self, rng, batch):
         idx = rng.choice(self.n, batch, replace=False)
@@ -246,6 +245,7 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
                      static_argnames=("with_adv_scores",))
     d_eval = jax.jit(defender.eval_step)
     dtraj = []
+    best = None  # reference ModelCheckpoint monitors val_loss (defender_train.py:53)
     t0 = time.time()
     for i in range(defend_steps):
         imgs, _, _, _ = pool.sample(rng, batch)
@@ -268,15 +268,22 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
                   f"val_loss={row['val_loss']:.4f} "
                   f"psnr={row['recovery_psnr']:.1f}dB adr={row['adr']:.2f} "
                   f"({row['img_per_sec']:.1f} img/s)", flush=True)
+            if best is None or row["val_loss"] < best["val_loss"]:
+                best = dict(row)
+                dd = os.path.join(
+                    save_dir, f"patch_{row['step']}_{row['val_loss']:.4f}",
+                    "antipatch")
+                ckpt_io.save_pytree(dd, jax.tree.map(
+                    np.asarray, {"params": dstate.params,
+                                 "batch_stats": dstate.batch_stats}))
+                best["artifact"] = dd
+                print(f"[defense] new best val_loss -> {dd}", flush=True)
     record["defense_trajectory"] = dtraj
-    final = dtraj[-1]
-    dd = os.path.join(save_dir,
-                      f"patch_{defend_steps}_{final['val_loss']:.4f}",
-                      "antipatch")
-    ckpt_io.save_pytree(dd, {"params": dstate.params,
-                             "batch_stats": dstate.batch_stats})
-    record["defense_artifact"] = dd
-    print(f"[defense] artifact: {dd}", flush=True)
+    record["defense_best"] = best
+    record["defense_artifact"] = best["artifact"]
+    print(f"[defense] best: step {best['step']} val_loss "
+          f"{best['val_loss']:.4f} psnr {best['recovery_psnr']:.1f}dB "
+          f"adr {best['adr']:.2f} -> {best['artifact']}", flush=True)
 
     json.dump(record, open(os.path.join(save_dir, "soak.json"), "w"),
               indent=1)
