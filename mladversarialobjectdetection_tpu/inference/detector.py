@@ -68,12 +68,45 @@ class Detector:
                 self.variables = jax.tree.map(lambda _, r: r, self.variables,
                                               restored)
         self._params_dict = self.config.as_dict()
+        self._forward = lambda images: self.net.apply(self.variables,
+                                                      images, False)
+        self._serve = jax.jit(self._serve_impl)
+        self._serve_raw = jax.jit(self._serve_raw_impl)
+
+    def quantize_int8(self, representative_frames, *,
+                      skip_patterns=None) -> None:
+        """Switch this detector's serve path to on-device int8 (opt-in).
+
+        Post-training quantization: conv weights per-output-channel int8,
+        activations per-tensor int8 with scales calibrated on
+        `representative_frames` (raw HxWx3 frames, host-preprocessed
+        exactly like serve() inputs — the reference representative-dataset
+        contract, infer_lib.py:497-540). Head `predict` layers,
+        BatchNorm, activations and the whole postprocess stay float
+        (inference/quantize.py). Affects serve/infer/serve_streams/
+        serve_pipelined; export() is unchanged.
+        """
+        from .quantize import DEFAULT_SKIP, Int8Serve
+
+        frames = list(representative_frames)
+        if not frames:
+            raise ValueError("quantize_int8 needs representative frames")
+        batches = []
+        for i in range(0, len(frames), 8):
+            imgs = [preprocess_host(np.asarray(f), self.config.image_size,
+                                    self.config.mean_rgb,
+                                    self.config.stddev_rgb)[0]
+                    for f in frames[i:i + 8]]
+            batches.append(np.stack(imgs))
+        self._forward = Int8Serve(
+            self.net, self.variables, batches,
+            skip_patterns=skip_patterns or DEFAULT_SKIP)
         self._serve = jax.jit(self._serve_impl)
         self._serve_raw = jax.jit(self._serve_raw_impl)
 
     def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
                     ) -> postprocess.Detections:
-        cls_out, box_out = self.net.apply(self.variables, images, False)
+        cls_out, box_out = self._forward(images)
         if self.post_mode == "tflite":
             # TFLite contract: normalized boxes, no scale-back
             # (reference postprocess.py:358-361 rejects scales here too)
