@@ -11,6 +11,7 @@ hack (attacker.py:221-236) has no place in a jitted program.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -63,15 +64,23 @@ class MetricLogger:
                 self._tb = None
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
+        # Non-finite values (e.g. asr_to_scale on steps where ASR isn't
+        # evaluated — attack/attacker.py with_asr=False) are recorded as
+        # JSON null: the line stays strict JSON (json.dumps would emit
+        # the invalid token `NaN`) and numeric consumers averaging a
+        # column skip them without NaN-poisoning the aggregate.
         rec = {"step": step, "time": time.time()}
-        rec.update({(prefix + k): float(v) for k, v in metrics.items()})
+        rec.update({(prefix + k): (float(v) if math.isfinite(float(v))
+                                   else None)
+                    for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self._tb is not None:
             import tensorflow as tf
             with self._tb.as_default():
                 for k, v in metrics.items():
-                    tf.summary.scalar(prefix + k, float(v), step=step)
+                    if math.isfinite(float(v)):
+                        tf.summary.scalar(prefix + k, float(v), step=step)
 
     def close(self):
         self._f.close()

@@ -56,6 +56,27 @@ def test_metric_logger(tmp_path):
     assert rec["train/loss"] == 1.5 and rec["step"] == 1
 
 
+def test_metric_logger_nonfinite_as_null(tmp_path):
+    """Non-finite metric values (asr_to_scale on non-ASR train steps) are
+    written as JSON null — the line stays strict JSON and a consumer
+    averaging the column skips them instead of NaN-poisoning the mean."""
+    from mladversarialobjectdetection_tpu.utils.train_loop import MetricLogger
+    log_dir = str(tmp_path / "logs")
+    m = MetricLogger(log_dir)
+    m.log(1, {"loss": 2.0, "asr_to_scale": float("nan")})
+    m.log(2, {"loss": 1.0, "asr_to_scale": 2.17})
+    m.log(3, {"loss": float("inf"), "asr_to_scale": float("-inf")})
+    m.close()
+    import json
+    recs = [json.loads(ln) for ln in  # strict=True would reject NaN tokens
+            open(os.path.join(log_dir, "metrics.jsonl"))]
+    assert recs[0]["asr_to_scale"] is None and recs[0]["loss"] == 2.0
+    assert recs[1]["asr_to_scale"] == 2.17
+    assert recs[2]["loss"] is None and recs[2]["asr_to_scale"] is None
+    vals = [r["asr_to_scale"] for r in recs if r["asr_to_scale"] is not None]
+    assert sum(vals) / len(vals) == 2.17
+
+
 def test_benchmark_harness():
     import jax.numpy as jnp
     from mladversarialobjectdetection_tpu.utils import debug
