@@ -120,6 +120,12 @@ class ScenePool:
 
 def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
          batch=24, seed=0, log_every=50, victim_ckpt=None):
+    if attack_steps < 1 or defend_steps < 1:
+        raise ValueError("attack_steps and defend_steps must be >= 1")
+    # the final-record code indexes the last logged rows; make sure short
+    # runs still log at least once instead of crashing after all the
+    # compute is spent
+    log_every = max(1, min(log_every, attack_steps, defend_steps))
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.attack import artifacts
     from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker

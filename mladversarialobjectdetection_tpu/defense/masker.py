@@ -74,6 +74,10 @@ def apply_masker(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
             per_image_patches=train_patches, **eot_kwargs)
     else:
         assert adv_patch is not None, "eval mode needs the adversarial patch"
+        # training-only hooks are inert in eval mode; drop them instead of
+        # letting them fall through to eot.apply_patches (TypeError)
+        eot_kwargs.pop("train_patches", None)
+        eot_kwargs.pop("adv_scale_override", None)
         patched, region = eot.apply_patches(
             k_apply, images, boxes, boxes_valid, adv_patch, adv_scale,
             tolerance=eot_kwargs.pop("tolerance", 0.0),

@@ -16,7 +16,6 @@ import numpy as np
 
 from ..attack import artifacts
 from ..inference.adv_patch import AdversarialPatch
-from ..inference.detector import Detector
 from ..inference.streaming import Stream
 from ..utils.log import get_logger
 from . import draw
@@ -74,13 +73,8 @@ def main(save_dir: str, input_file: Optional[str] = None, *,
 
     os.makedirs(save_dir, exist_ok=True)
     stream = Stream(input_file, set_width=set_width)
-    params = dict(detector_params or {})
-    nms = dict(params.get("nms_configs") or {})
-    nms.setdefault("iou_thresh", 0.5)
-    nms.setdefault("score_thresh", 0.0)
-    params["nms_configs"] = nms
-    detector = Detector(model_name=model_name, ckpt_path=detector_ckpt,
-                        params=params)
+    from . import make_demo_detector
+    detector = make_demo_detector(model_name, detector_ckpt, detector_params)
 
     if patch_dir:
         patch_np, scale = artifacts.load_patch_dir(patch_dir)

@@ -128,13 +128,8 @@ def main(save_dir: str, input_file: Optional[str] = None, *,
 
     os.makedirs(save_dir, exist_ok=True)
     stream = Stream(input_file, set_width=set_width)
-    params = dict(detector_params or {})
-    nms = dict(params.get("nms_configs") or {})
-    nms.setdefault("iou_thresh", 0.5)
-    nms.setdefault("score_thresh", 0.0)
-    params["nms_configs"] = nms
-    detector = Detector(model_name=model_name, ckpt_path=detector_ckpt,
-                        params=params)
+    from . import make_demo_detector
+    detector = make_demo_detector(model_name, detector_ckpt, detector_params)
 
     if patch_dir:
         patch_np, scale = artifacts.load_patch_dir(patch_dir)

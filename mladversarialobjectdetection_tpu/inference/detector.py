@@ -106,7 +106,19 @@ class Detector:
 
     def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
                     ) -> postprocess.Detections:
-        cls_out, box_out = self._forward(images)
+        return self._post_detections(self._forward(images), scales)
+
+    def _serve_float_impl(self, images: jnp.ndarray, scales: jnp.ndarray
+                          ) -> postprocess.Detections:
+        """Serve program on the FLOAT forward, bypassing any int8
+        interceptor installed by quantize_int8 — export() traces this so
+        the artifact is always the float network (the documented
+        contract)."""
+        return self._post_detections(
+            self.net.apply(self.variables, images, False), scales)
+
+    def _post_detections(self, outs, scales) -> postprocess.Detections:
+        cls_out, box_out = outs
         if self.post_mode == "tflite":
             # TFLite contract: normalized boxes, no scale-back
             # (reference postprocess.py:358-361 rejects scales here too)
@@ -150,7 +162,7 @@ class Detector:
                                                      cls_out, box_out))
         else:
             def fn(images, scales):
-                return tuple(self._serve_impl(images, scales))
+                return tuple(self._serve_float_impl(images, scales))
 
         example = (np.zeros((batch_size, *self.spec.image_size, 3),
                             np.float32),
@@ -169,6 +181,12 @@ class Detector:
                         "int8 export needs representative_frames")
                 from ..ops.preprocess import preprocess_host
                 frames = list(representative_frames)
+                if len(frames) < batch_size:
+                    raise ValueError(
+                        f"int8 export needs >= batch_size "
+                        f"({batch_size}) representative frames, got "
+                        f"{len(frames)} — the calibrator would receive "
+                        f"zero samples")
 
                 def rep():
                     for i in range(0, len(frames) - batch_size + 1,

@@ -101,7 +101,13 @@ def export_tflite(saved_model_dir: str, out_path: str, *,
                 if isinstance(sample, dict):
                     out = []
                     for name in order:
-                        key = next((k for k in sample if k in name), None)
+                        # longest substring match: with keys like
+                        # ('image', 'image_scale') the tensor
+                        # 'serving_default_image_scale:0' must bind to
+                        # 'image_scale', not whichever key iterates first
+                        hits = sorted((k for k in sample if k in name),
+                                      key=len, reverse=True)
+                        key = hits[0] if hits else None
                         if key is None:
                             raise KeyError(
                                 f"representative sample missing input "

@@ -23,6 +23,9 @@ _he_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
 # BatchNormalization uses epsilon 1e-3 / momentum .99 (generator.py:120,
 # 172; tf.keras defaults) — both differ from the flax defaults (0.01 /
 # 1e-5), and both matter for loading reference antipatch.h5 weights.
+# NOTE: defender pytree checkpoints saved before this parity fix were
+# trained at the old flax defaults; reloading them here changes their
+# forward pass slightly — retrain (defense/train.py) for best recovery.
 LEAKY_SLOPE = 0.2
 BN_EPS = 1e-3
 

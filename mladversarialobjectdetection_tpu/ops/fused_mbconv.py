@@ -187,11 +187,16 @@ def _pick_row_tile(H, W, C, E, Co, h, itemsize=2, budget_bytes=10 << 20):
                + (C * E + E * Co) * itemsize)
         if est <= budget_bytes:
             return th
+        if th == 1 and est <= (16 << 20):
+            # the soft budget leaves transient headroom when a choice
+            # exists; a single haloed row that still fits the real 16 MiB
+            # mosaic cap is allowed through rather than rejected
+            return th
     # even a single haloed row exceeds scoped VMEM: fail with a clear
     # message instead of an opaque mosaic allocation error downstream
     raise ValueError(
-        f"fused_mbconv: no row tile fits the {budget_bytes >> 20} MiB VMEM "
-        f"budget for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
+        f"fused_mbconv: no row tile fits the 16 MiB scoped-VMEM limit "
+        f"for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
 
 
 def _halo_rows(x, th, h):
@@ -349,9 +354,11 @@ def _pick_row_tile_bwd(H, W, C, E, Co, h, itemsize=2, budget_bytes=10 << 20):
                + (C * E + E * Co) * itemsize)
         if est <= budget_bytes:
             return th
+        if th == 1 and est <= (16 << 20):
+            return th  # see _pick_row_tile: real cap is 16 MiB
     raise ValueError(
-        f"fused_mbconv bwd: no row tile fits the {budget_bytes >> 20} MiB "
-        f"VMEM budget for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
+        f"fused_mbconv bwd: no row tile fits the 16 MiB scoped-VMEM "
+        f"limit for W={W}, C={C}, E={E}, Co={Co}; use impl='xla'")
 
 
 def _mbconv_bwd_pallas(x, g, fb: FoldedBlock, *, act_type, residual,

@@ -171,6 +171,20 @@ def test_masker_train_targets():
     assert np.allclose(np.asarray(targets)[untouched], 0.0)
 
 
+def test_masker_eval_ignores_training_hooks():
+    """Training-only hook kwargs (train_patches, adv_scale_override) are
+    inert in eval mode instead of falling through **eot_kwargs into
+    eot.apply_patches (TypeError at trace time)."""
+    key, imgs, boxes, valid, _ = _setup(hw=64)
+    a = masker.apply_masker(key, imgs, boxes, valid, training=False,
+                            adv_patch=jnp.ones((32, 32, 3)), adv_scale=0.5)
+    b = masker.apply_masker(key, imgs, boxes, valid, training=False,
+                            adv_patch=jnp.ones((32, 32, 3)), adv_scale=0.5,
+                            train_patches=jnp.zeros((4, 64, 64, 3)),
+                            adv_scale_override=9.0)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
 def test_masker_train_mode():
     """Self-supervised mode: patches come from shuffled batch crops with
     per-slot random scale (attack_detection.py:487-492)."""

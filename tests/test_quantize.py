@@ -91,6 +91,25 @@ def test_requires_frames(int8_detector):
         det.quantize_int8([])
 
 
+@pytest.mark.slow
+def test_export_path_stays_float_after_quantize(int8_detector, rng):
+    """export() traces _serve_float_impl: after quantize_int8 the export
+    function must still be the FLOAT serve program (the documented
+    'export() is unchanged' contract), not the int8 interceptor graph."""
+    det, float_forward = int8_detector
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    scales = jnp.ones((1,), jnp.float32)
+    exp = jax.jit(det._serve_float_impl)(x, scales)
+    int8_forward = det._forward
+    det._forward = float_forward
+    ref = jax.jit(det._serve_impl)(x, scales)
+    det._forward = int8_forward
+    np.testing.assert_array_equal(np.asarray(exp.scores),
+                                  np.asarray(ref.scores))
+    np.testing.assert_array_equal(np.asarray(exp.boxes),
+                                  np.asarray(ref.boxes))
+
+
 def test_per_channel_roundtrip(rng):
     """quantize_conv_params inverts to the float kernel within 1 LSB."""
     k = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
