@@ -32,10 +32,13 @@ def save_patch_dir(dirpath: str, patch: np.ndarray, scale: float,
         pass
 
 
-def load_patch_dir(dirpath: str):
-    """Load (patch float32 [-1,1], scale float) from an artifact directory.
+def load_patch_dir(dirpath: str, mean_rgb=127.0, stddev_rgb=128.0):
+    """Load (patch float32 normalized, scale float) from an artifact dir.
 
-    Accepts our patch.npy or a reference patch.tiff (attacker.py:45-48)."""
+    Accepts our patch.npy or a reference patch.tiff (attacker.py:45-48).
+    mean_rgb/stddev_rgb are only used by the lossy patch.png fallback and
+    must match the values the artifact was saved with (pass the model
+    config's values for non-lite models)."""
     with open(os.path.join(dirpath, "scale.txt")) as f:
         scale = float(ast.literal_eval(f.read()))
     npy = os.path.join(dirpath, "patch.npy")
@@ -53,5 +56,6 @@ def load_patch_dir(dirpath: str):
     if os.path.exists(png):
         from PIL import Image
         arr = np.asarray(Image.open(png).convert("RGB"), np.float32)
-        return (arr - 127.0) / 128.0, scale
+        return ((arr - np.asarray(mean_rgb, np.float32))
+                / np.asarray(stddev_rgb, np.float32)), scale
     raise FileNotFoundError(f"no patch artifact in {dirpath}")

@@ -280,7 +280,8 @@ class PatchAttacker:
         patched, _ = eot.apply_patches(
             k_eot, images, boxes[:, :self.max_boxes],
             clean_valid[:, :self.max_boxes], state.patch, state.scale,
-            tolerance=self.tolerance, window=self.window)
+            tolerance=self.tolerance, window=self.window,
+            use_histogram_match=self.use_histogram_match)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         _, adv_scores, adv_valid = self._nms(adv_boxes, adv_masked)
 

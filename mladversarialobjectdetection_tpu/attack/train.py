@@ -99,7 +99,8 @@ def train(model_name: str = "efficientdet-lite4", *,
                              patch_size=patch_size, window=window or None)
     key = jax.random.PRNGKey(seed)
     if initial_patch:
-        patch_np, scale0 = artifacts.load_patch_dir(initial_patch)
+        patch_np, scale0 = artifacts.load_patch_dir(
+            initial_patch, config.mean_rgb, config.stddev_rgb)
         state = attacker.init_state(key, initial_patch=patch_np,
                                     initial_scale=scale0)
     else:
@@ -111,6 +112,9 @@ def train(model_name: str = "efficientdet-lite4", *,
     train_step = jax.jit(attacker.train_step, donate_argnums=0,
                          static_argnames=("with_asr",))
     eval_step = jax.jit(attacker.eval_step)
+    # hoisted: a fresh jit wrapper per visualization event would discard
+    # its trace cache and re-trace/re-compile the two-pass graph each time
+    asr_curve = jax.jit(attacker.asr_curve)
 
     # data
     if synthetic or img_dir is None:
@@ -180,8 +184,7 @@ def train(model_name: str = "efficientdet-lite4", *,
                 thresholds = np.arange(
                     float(config.nms_configs.score_thresh or 0.5), 0.805,
                     0.01, dtype=np.float32)
-                curve = jax.jit(attacker.asr_curve)(
-                    state, next(val_iter), thresholds)
+                curve = asr_curve(state, next(val_iter), thresholds)
                 img = visualize.plot_asr_curve(thresholds, np.asarray(curve))
                 from PIL import Image
                 Image.fromarray(img).save(

@@ -5,10 +5,10 @@ Behavioral parity with the reference's optional augmentation layer
 dataloader.py:308-319). GridMask runs on device (jittable, static shapes);
 Mosaic runs host-side where images are still individually sized.
 
-The AutoAugment/RandAugment policy engine (aug/autoaugment.py, 1667 LoC of
-policy tables) is intentionally not reproduced; GridMask + the standard
-flip/contrast/brightness pipeline (data/pipeline.augment_batch) cover the
-augmentations the reference pipeline actually enables by default.
+The AutoAugment/RandAugment policy engine (reference aug/autoaugment.py)
+lives separately in data/autoaugment.py (v0-v3/test policies +
+RandAugment, wired into DetectionTFRecordReader via autoaugment_policy);
+this module holds the device-side GridMask and host-side Mosaic halves.
 """
 from __future__ import annotations
 

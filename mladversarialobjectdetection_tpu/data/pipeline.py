@@ -43,8 +43,16 @@ def _read_image(img_dir: str, filename: str) -> np.ndarray:
     return np.asarray(im)
 
 
-def _parse_label_line(line: str) -> List[float]:
-    return list(map(float, line.strip().split(" ")[1:]))
+def _parse_label_line(line: str) -> Optional[List[float]]:
+    """'cls ymin xmin ymax xmax' -> [ymin, xmin, ymax, xmax]; None for
+    blank/malformed lines (trailing newline at EOF etc.)."""
+    parts = line.split()
+    if len(parts) != 5:
+        return None
+    try:
+        return [float(v) for v in parts[1:]]
+    except ValueError:
+        return None
 
 
 def filter_by_dims(img_dir: str, label_dir: str, max_area_ratio: float,
@@ -55,7 +63,10 @@ def filter_by_dims(img_dir: str, label_dir: str, max_area_ratio: float,
     label_file = os.path.splitext(filename)[0] + ".txt"
     with open(os.path.join(label_dir, label_file)) as f:
         for line in f.readlines():
-            ymin, xmin, ymax, xmax = _parse_label_line(line)
+            parsed = _parse_label_line(line)
+            if parsed is None:
+                continue
+            ymin, xmin, ymax, xmax = parsed
             if ymin < 20 or xmin < 20 or ymax > h - 20 or xmax > w - 20:
                 return False
             if ((ymax - ymin) * (xmax - xmin)) / (h * w) >= max_area_ratio:
@@ -105,6 +116,13 @@ class ImageFolderSource:
             yield np.stack([self[i] for i in idxs])
 
     def repeat_batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        if not self.files:
+            # without this an empty source busy-loops forever: each pass
+            # of batches() yields nothing and the consumer blocks on a
+            # prefetch queue that never fills
+            raise ValueError(
+                f"no images in {self.img_dir!r} (empty dataset, "
+                f"everything filtered out, or a too-small train split)")
         while True:
             yield from self.batches(batch_size)
 

@@ -241,17 +241,25 @@ class DetectionTFRecordReader:
 
     def batches(self, batch_size: int) -> Iterator[dict]:
         """Yield {'images' [B,H,W,3], 'boxes' [B,G,4] px, 'classes' [B,G]
-        (0-based model ids), 'valid' [B,G]} forever."""
+        (0-based model ids), 'valid' [B,G], 'is_crowd' [B,G]} forever.
+        With skip_crowd=False, crowd annotations stay in the batch and are
+        flagged in 'is_crowd' so COCO eval can treat them as ignore
+        regions (COCOEvaluator.add_image gt_is_crowd)."""
         from ..ops.preprocess import preprocess_host
 
         g = self.max_instances
         while True:
-            batch_imgs, batch_boxes, batch_cls, batch_valid = [], [], [], []
+            batch_imgs, batch_boxes, batch_cls = [], [], []
+            batch_valid, batch_crowd = [], []
             for ex in self._examples():
                 boxes, classes = ex["boxes"], ex["classes"]
+                crowd = (np.asarray(ex["is_crowd"], np.int64)
+                         if len(ex["is_crowd"])
+                         else np.zeros(len(boxes), np.int64))
                 if self.skip_crowd and len(ex["is_crowd"]):
                     keep = ex["is_crowd"] == 0
                     boxes, classes = boxes[keep], classes[keep]
+                    crowd = crowd[keep]
                 h, w = ex["image"].shape[:2]
                 raw = ex["image"]
                 raw_px_boxes = boxes * np.asarray([h, w, h, w], np.float32)
@@ -274,20 +282,24 @@ class DetectionTFRecordReader:
                 pb = np.zeros((g, 4), np.float32)
                 pc = np.zeros((g,), np.int32)
                 pv = np.zeros((g,), bool)
+                pw = np.zeros((g,), bool)
                 pb[:n] = px_boxes[:n]
                 pc[:n] = classes[:n] - 1  # 1-based labels -> 0-based model ids
                 pv[:n] = True
+                pw[:n] = crowd[:n] != 0
                 batch_imgs.append(img)
                 batch_boxes.append(pb)
                 batch_cls.append(pc)
                 batch_valid.append(pv)
+                batch_crowd.append(pw)
                 if len(batch_imgs) == batch_size:
                     yield {"images": np.stack(batch_imgs),
                            "boxes": np.stack(batch_boxes),
                            "classes": np.stack(batch_cls),
-                           "valid": np.stack(batch_valid)}
-                    batch_imgs, batch_boxes, batch_cls, batch_valid = (
-                        [], [], [], [])
+                           "valid": np.stack(batch_valid),
+                           "is_crowd": np.stack(batch_crowd)}
+                    batch_imgs, batch_boxes, batch_cls = [], [], []
+                    batch_valid, batch_crowd = [], []
 
 
 def write_fake_tfrecord(path: str, n: int = 1, image_hw=(64, 64)) -> None:

@@ -50,7 +50,8 @@ def train(model_name: str = "efficientdet-lite4", *,
     mesh = make_mesh_for_batch(batch_size)
 
     if eval_patch:
-        patch_np, scale = artifacts.load_patch_dir(eval_patch)
+        patch_np, scale = artifacts.load_patch_dir(
+            eval_patch, config.mean_rgb, config.stddev_rgb)
     else:
         logger.warning("no eval_patch given; using a random patch for eval")
         patch_np = np.random.default_rng(0).uniform(

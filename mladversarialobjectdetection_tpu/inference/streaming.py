@@ -26,17 +26,21 @@ class Stream:
         self.frame_delay = frame_delay
         self.cap = None
         self.files = None
-        if not path or os.path.isfile(path):
-            import cv2
-            self.cap = cv2.VideoCapture(path)
-            if not self.cap.isOpened():
-                logger.error(f"Error opening input video: {path}")
-        elif os.path.isdir(path):
+        if os.path.isdir(path if isinstance(path, str) else ""):
             self.files = sorted(os.listdir(path))
             if filter_func:
                 self.files = list(filter(filter_func, self.files))
             if sort_func:
                 self.files.sort(key=sort_func)
+        else:
+            # webcam index (0), file, or any other cv2-openable source
+            # (rtsp/http URLs, mistyped paths): always construct the
+            # capture so play() sees an unopened cap and logs the error
+            # instead of crashing on cap=None
+            import cv2
+            self.cap = cv2.VideoCapture(path)
+            if not self.cap.isOpened():
+                logger.error(f"Error opening input video: {path}")
 
     def change_frame_size(self, frame: np.ndarray) -> np.ndarray:
         import cv2

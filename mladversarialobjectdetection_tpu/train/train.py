@@ -46,6 +46,7 @@ def evaluate_map(trainer: DetectorTrainer, state, batches, n_batches: int,
     for _ in range(n_batches):
         batch = next(batches)
         det = jax.tree.map(np.asarray, infer(batch["images"]))
+        crowd = batch.get("is_crowd")
         for i in range(det.boxes.shape[0]):
             keep = det.valid[i] & (det.scores[i] >= score_thresh)
             gt_keep = batch["valid"][i]
@@ -53,7 +54,9 @@ def evaluate_map(trainer: DetectorTrainer, state, batches, n_batches: int,
                 det.boxes[i][keep], det.scores[i][keep],
                 det.classes[i][keep].astype(int),
                 batch["boxes"][i][gt_keep],
-                batch["classes"][i][gt_keep] + postprocess.CLASS_OFFSET)
+                batch["classes"][i][gt_keep] + postprocess.CLASS_OFFSET,
+                gt_is_crowd=(crowd[i][gt_keep] if crowd is not None
+                             else None))
     return evaluator.result()
 
 

@@ -8,10 +8,16 @@ per-class AP (label_map branch, coco_metric.py:203-214).
 
 Implemented in numpy following pycocotools COCOeval semantics exactly:
 greedy per-(image, class) matching in global score order at each IoU
-threshold in .5:.95:.05, area-range gt/det ignoring, maxDets capping,
-101-point precision interpolation, and the -1 convention for absent
-categories. Host-side: evaluation consumes fetched detections, never
-device time.
+threshold in .5:.95:.05, area-range gt/det ignoring (bounds INCLUSIVE on
+both ends, as in COCOeval's aRng check), crowd ground truths as
+multi-matchable ignore regions with intersection-over-det-area IoU
+(maskUtils.iou iscrowd semantics), maxDets capping, 101-point precision
+interpolation, and the -1 convention for absent categories. Host-side:
+evaluation consumes fetched detections, never device time.
+
+IoU matrices are computed once per (image, class) and shared across the
+(area, maxDets) cells — COCOeval.computeIoU's caching — and only the six
+cells the 12 metrics actually read are accumulated.
 """
 from __future__ import annotations
 
@@ -37,6 +43,18 @@ def _box_areas(boxes: np.ndarray) -> np.ndarray:
             * np.maximum(0.0, boxes[:, 3] - boxes[:, 1]))
 
 
+def _crowd_iou(det_box: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
+    """iscrowd IoU: intersection over DET area (maskUtils.iou with
+    iscrowd=1 — the crowd region is treated as unbounded ground truth)."""
+    yy0 = np.maximum(det_box[0], gt_boxes[:, 0])
+    xx0 = np.maximum(det_box[1], gt_boxes[:, 1])
+    yy1 = np.minimum(det_box[2], gt_boxes[:, 2])
+    xx1 = np.minimum(det_box[3], gt_boxes[:, 3])
+    inter = (np.maximum(0.0, yy1 - yy0) * np.maximum(0.0, xx1 - xx0))
+    d_area = max((det_box[2] - det_box[0]) * (det_box[3] - det_box[1]), 0.0)
+    return inter / max(d_area, np.finfo(np.float64).eps)
+
+
 class COCOEvaluator:
     """Accumulate per-image detections + ground truths, compute the full
     COCO metric suite."""
@@ -48,56 +66,88 @@ class COCOEvaluator:
         self._images: List[dict] = []
 
     def add_image(self, det_boxes, det_scores, det_classes,
-                  gt_boxes, gt_classes) -> None:
+                  gt_boxes, gt_classes, gt_is_crowd=None) -> None:
         """Add one image. Boxes are [N, 4] (ymin, xmin, ymax, xmax) in
-        pixels; classes are int ids (any consistent labeling)."""
+        pixels; classes are int ids (any consistent labeling).
+        `gt_is_crowd` (optional bool [G]) marks crowd annotations: a
+        multi-matchable ignore region — detections matching it are
+        dropped from scoring instead of counted as false positives
+        (COCOeval gtIg / iscrowd semantics)."""
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        crowd = (np.zeros(len(gt_boxes), bool) if gt_is_crowd is None
+                 else np.asarray(gt_is_crowd).reshape(-1).astype(bool))
         self._images.append(dict(
             det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
             det_scores=np.asarray(det_scores, np.float64).reshape(-1),
             det_classes=np.asarray(det_classes).reshape(-1).astype(int),
-            gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
-            gt_classes=np.asarray(gt_classes).reshape(-1).astype(int)))
+            gt_boxes=gt_boxes,
+            gt_classes=np.asarray(gt_classes).reshape(-1).astype(int),
+            gt_crowd=crowd))
 
-    # -- per-(image, class, area, maxdet) matching (COCOeval.evaluateImg) --
-    def _evaluate_img(self, img: dict, cls: int, area: Tuple[float, float],
-                      max_det: int):
-        """Returns (det_scores, det_matched[T, D], det_ignored[T, D],
-        n_nonignored_gt) or None if the image has nothing of this class."""
+    # -- per-(image, class) selection + IoU, shared across cells ----------
+    def _img_cls_cache(self, img: dict, cls: int):
+        """None if the image has nothing of this class, else a dict with
+        score-sorted dets, gts, and the [D, G] IoU matrix (crowd columns
+        use intersection-over-det-area, maskUtils.iou iscrowd=1)."""
         d_sel = img["det_classes"] == cls
         g_sel = img["gt_classes"] == cls
         if not d_sel.any() and not g_sel.any():
             return None
         dt_boxes = img["det_boxes"][d_sel]
         dt_scores = img["det_scores"][d_sel]
-        gt_boxes = img["gt_boxes"][g_sel]
-
-        g_areas = _box_areas(gt_boxes)
-        gt_ig = (g_areas < area[0]) | (g_areas >= area[1])
-        # non-ignored gt first (COCOeval sorts by _ignore)
-        g_order = np.argsort(gt_ig, kind="stable")
-        gt_boxes = gt_boxes[g_order]
-        gt_ig = gt_ig[g_order]
-
-        d_order = np.argsort(-dt_scores, kind="stable")[:max_det]
+        d_order = np.argsort(-dt_scores, kind="stable")
         dt_boxes = dt_boxes[d_order]
         dt_scores = dt_scores[d_order]
-        d_areas = _box_areas(dt_boxes)
-        dt_out_of_range = (d_areas < area[0]) | (d_areas >= area[1])
+        gt_boxes = img["gt_boxes"][g_sel]
+        gt_crowd = img["gt_crowd"][g_sel]
+        n_d, n_g = len(dt_boxes), len(gt_boxes)
+        if n_d and n_g:
+            ious = np.stack([iou_np(db, gt_boxes) for db in dt_boxes])
+            if gt_crowd.any():
+                crowd_ious = np.stack([_crowd_iou(db, gt_boxes[gt_crowd])
+                                       for db in dt_boxes])
+                ious[:, gt_crowd] = crowd_ious
+        else:
+            ious = np.zeros((n_d, n_g))
+        return dict(dt_boxes=dt_boxes, dt_scores=dt_scores,
+                    dt_areas=_box_areas(dt_boxes),
+                    gt_crowd=gt_crowd, gt_areas=_box_areas(gt_boxes),
+                    ious=ious)
+
+    # -- per-(image, class, area, maxdet) matching (COCOeval.evaluateImg) --
+    def _evaluate_img(self, cache: dict, area: Tuple[float, float],
+                      max_det: int):
+        """Returns (det_scores, det_matched[T, D], det_ignored[T, D],
+        n_nonignored_gt)."""
+        # gt ignore = crowd OR area out of range; bounds inclusive
+        # (COCOeval: a < aRng[0] or a > aRng[1])
+        gt_ig = (cache["gt_crowd"] | (cache["gt_areas"] < area[0])
+                 | (cache["gt_areas"] > area[1]))
+        gt_crowd = cache["gt_crowd"]
+        # non-ignored gt first (COCOeval sorts by _ignore)
+        g_order = np.argsort(gt_ig, kind="stable")
+        gt_ig = gt_ig[g_order]
+        gt_crowd = gt_crowd[g_order]
+
+        dt_boxes = cache["dt_boxes"][:max_det]
+        dt_scores = cache["dt_scores"][:max_det]
+        d_areas = cache["dt_areas"][:max_det]
+        dt_out_of_range = (d_areas < area[0]) | (d_areas > area[1])
+        ious = cache["ious"][:max_det][:, g_order]
 
         n_t = len(self.iou_thresholds)
         n_d = len(dt_boxes)
-        n_g = len(gt_boxes)
+        n_g = len(gt_ig)
         matched = np.zeros((n_t, n_d), bool)
         ignored = np.zeros((n_t, n_d), bool)
         if n_g:
-            ious = np.stack([iou_np(db, gt_boxes) for db in dt_boxes]) \
-                if n_d else np.zeros((0, n_g))
             for ti, t in enumerate(self.iou_thresholds):
                 gt_used = np.zeros(n_g, bool)
                 for di in range(n_d):
                     best, best_iou = -1, min(float(t), 1.0 - 1e-10)
                     for gi in range(n_g):
-                        if gt_used[gi]:
+                        # crowd gts are multi-matchable ignore regions
+                        if gt_used[gi] and not gt_crowd[gi]:
                             continue
                         # once we reach ignored gts, stop if we already
                         # matched a non-ignored one (COCOeval rule)
@@ -116,16 +166,14 @@ class COCOEvaluator:
         n_pig = int((~gt_ig).sum())
         return dt_scores, matched, ignored, n_pig
 
-    def _accumulate(self, cls: int, area: Tuple[float, float], max_det: int):
+    def _accumulate(self, caches: List[dict], area: Tuple[float, float],
+                    max_det: int):
         """(precision[T, 101], recall[T]) for one cell, or None if the class
         has no non-ignored gt anywhere (pycocotools -1 convention)."""
         scores, matched, ignored = [], [], []
         n_pig = 0
-        for img in self._images:
-            res = self._evaluate_img(img, cls, area, max_det)
-            if res is None:
-                continue
-            s, m, ig, npg = res
+        for cache in caches:
+            s, m, ig, npg = self._evaluate_img(cache, area, max_det)
             scores.append(s)
             matched.append(m)
             ignored.append(ig)
@@ -171,12 +219,21 @@ class COCOEvaluator:
         classes = sorted({int(c) for img in self._images
                           for c in np.concatenate([img["gt_classes"],
                                                    img["det_classes"]])})
+        # per-(image, class) dets/gts/IoUs computed ONCE, shared by cells
+        cls_caches: Dict[int, List[dict]] = {}
+        for c in classes:
+            caches = [self._img_cls_cache(img, c) for img in self._images]
+            cls_caches[c] = [cc for cc in caches if cc is not None]
+
+        md = max(self.max_dets)
+        # only the cells the 12 metrics read (COCOeval computes all
+        # area x maxDets combinations; half are never summarized)
+        needed = ({("all", m) for m in self.max_dets}
+                  | {(a, md) for a in AREA_RANGES})
         cells: Dict[Tuple[str, int], dict] = {}
-        for aname, arange in AREA_RANGES.items():
-            for m in self.max_dets:
-                per_cls = {c: self._accumulate(c, arange, m)
-                           for c in classes}
-                cells[(aname, m)] = per_cls
+        for aname, m in needed:
+            cells[(aname, m)] = {c: self._accumulate(
+                cls_caches[c], AREA_RANGES[aname], m) for c in classes}
 
         def mean_ap(aname: str, max_det: int,
                     thresh: Optional[float] = None,
@@ -199,7 +256,6 @@ class COCOEvaluator:
                     if acc is not None]
             return float(np.mean(vals)) if vals else -1.0
 
-        md = max(self.max_dets)
         out = {
             "AP": mean_ap("all", md),
             "AP50": mean_ap("all", md, thresh=0.5),

@@ -80,3 +80,34 @@ def test_synthetic_batches():
     b = next(it)
     assert b.shape == (2, 32, 32, 3)
     assert b.dtype == np.float32
+
+
+def test_empty_source_raises_instead_of_hanging(tmp_path):
+    """repeat_batches on an empty source (tiny dataset -> 0-file train
+    split, or everything filtered out) raises immediately instead of
+    busy-looping forever behind the prefetch queue."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    src = pipeline.ImageFolderSource(str(d), 64, 127.0, 128.0)
+    with pytest.raises(ValueError, match="no images"):
+        next(src.repeat_batches(2))
+
+
+def test_label_parser_tolerates_blank_and_malformed_lines(image_dir):
+    """Trailing blank lines / malformed rows in label files are skipped,
+    not fatal to the whole filter pass."""
+    img_dir, label_dir = image_dir
+    with open(os.path.join(label_dir, "img0.txt"), "a") as f:
+        f.write("\n   \nnot a number line\n0 1 2\n")
+    kept = [f for f in sorted(os.listdir(img_dir))
+            if pipeline.filter_by_dims(img_dir, label_dir, 0.1, f)]
+    assert kept == ["img0.png", "img1.png", "img2.png"]
+
+
+def test_stream_bad_path_is_nonfatal():
+    """A mistyped/deleted video path yields an unopened capture: play()
+    logs an error and produces no frames (no AttributeError on cap=None)."""
+    from mladversarialobjectdetection_tpu.inference.streaming import Stream
+    s = Stream("/definitely/not/here.mp4")
+    assert s.cap is not None and s.files is None
+    assert list(s.play()) == []

@@ -183,6 +183,50 @@ def test_coco_metric_maxdets_and_per_class():
     assert res["AP_/2"] == pytest.approx(0.0)
 
 
+def test_coco_metric_crowd_ignore():
+    """A detection matching only a crowd region is ignored, not a false
+    positive (COCOeval gtIg semantics; crowd IoU = intersection over det
+    area), and crowd gts don't count toward recall denominators."""
+    ev = coco_metric.COCOEvaluator()
+    gt = np.array([[0., 0., 10., 10.], [50., 50., 150., 150.]])
+    # det B sits fully inside the crowd region (crowd IoU 1.0, standard
+    # IoU only .04) and outscores the TP: treated as a normal gt it
+    # would be a leading FP over n_gt=2 -> AP ~.25; as a crowd it is
+    # ignored and the remaining TP covers the single real gt -> AP 1.
+    det = np.array([[0., 0., 10., 10.], [60., 60., 80., 80.]])
+    ev.add_image(det, [0.8, 0.9], [1, 1], gt, [1, 1],
+                 gt_is_crowd=[False, True])
+    res = ev.result()
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["ARmax100"] == pytest.approx(1.0)
+
+
+def test_coco_metric_crowd_multi_match():
+    """One crowd region absorbs (ignores) MULTIPLE detections — crowds
+    are never consumed by a match (COCOeval: gtm set but crowds stay
+    matchable)."""
+    ev = coco_metric.COCOEvaluator()
+    gt = np.array([[0., 0., 10., 10.], [50., 50., 150., 150.]])
+    det = np.array([[0., 0., 10., 10.], [60., 60., 80., 80.],
+                    [90., 90., 120., 120.]])
+    ev.add_image(det, [0.7, 0.9, 0.8], [1, 1, 1], gt, [1, 1],
+                 gt_is_crowd=[0, 1])
+    res = ev.result()
+    assert res["AP"] == pytest.approx(1.0)
+
+
+def test_coco_metric_area_bounds_inclusive():
+    """A 32x32 gt (area exactly 32^2) belongs to BOTH 'small' and
+    'medium' — pycocotools aRng bounds are inclusive on both ends."""
+    ev = coco_metric.COCOEvaluator()
+    gt = np.array([[0., 0., 32., 32.]])
+    ev.add_image(gt, [0.9], [1], gt, [1])
+    res = ev.result()
+    assert res["APs"] == pytest.approx(1.0)
+    assert res["APm"] == pytest.approx(1.0)
+    assert res["APl"] == -1.0
+
+
 def test_coco_metric_matches_pycocotools_if_available():
     """Randomized cross-check against pycocotools (skipped where the
     package is unavailable; runs in richer environments)."""
@@ -199,9 +243,10 @@ def test_coco_metric_matches_pycocotools_if_available():
         g_wh = rng.uniform(10, 100, (n_gt, 2))
         g_boxes = np.concatenate([g_yx, g_yx + g_wh], 1)
         g_cls = rng.randint(1, 3, n_gt)
-        for b, c in zip(g_boxes, g_cls):
+        g_crowd = rng.rand(n_gt) < 0.25
+        for b, c, cr in zip(g_boxes, g_cls, g_crowd):
             anns.append({"id": ann_id, "image_id": img_id,
-                         "category_id": int(c), "iscrowd": 0,
+                         "category_id": int(c), "iscrowd": int(cr),
                          "bbox": [b[1], b[0], b[3] - b[1], b[2] - b[0]],
                          "area": float((b[2] - b[0]) * (b[3] - b[1]))})
             ann_id += 1
@@ -214,7 +259,8 @@ def test_coco_metric_matches_pycocotools_if_available():
             dets.append({"image_id": img_id, "category_id": int(c),
                          "bbox": [b[1], b[0], b[3] - b[1], b[2] - b[0]],
                          "score": float(s)})
-        ev.add_image(d_boxes, d_scores, d_cls, g_boxes, g_cls)
+        ev.add_image(d_boxes, d_scores, d_cls, g_boxes, g_cls,
+                     gt_is_crowd=g_crowd)
 
     gt_coco = coco_mod.COCO()
     gt_coco.dataset = {"images": images, "annotations": anns,

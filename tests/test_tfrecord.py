@@ -38,6 +38,9 @@ def test_reader_batches(tmp_path):
     assert np.allclose(batch["boxes"][0, 0], [6.4, 6.4, 38.4, 32.0],
                        atol=1e-3)
     assert batch["classes"][0, 0] == 0  # 1-based label -> 0-based model id
+    # fake records carry is_crowd=0: flagged in the batch, none crowd
+    assert batch["is_crowd"].shape == (2, 8)
+    assert not batch["is_crowd"].any()
 
 
 @pytest.mark.slow
