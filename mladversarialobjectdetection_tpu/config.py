@@ -192,6 +192,7 @@ def default_detection_configs() -> Config:
     # dataset
     h.num_classes = 90  # 0 is reserved for background at the API level
     h.max_instances_per_image = 100
+    h.label_map = None  # dict or 'coco'/'voc' (hparams_config.py:198)
 
     # architecture
     h.min_level = 3

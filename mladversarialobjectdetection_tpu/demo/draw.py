@@ -30,17 +30,20 @@ def _score_color(score: float) -> Tuple[int, int, int]:
 
 
 def draw_boxes(frame: np.ndarray, boxes: Sequence, scores: Sequence,
-               thickness: int = 2) -> np.ndarray:
-    """Draw person boxes with score labels (util.py:104-128)."""
+               thickness: int = 2,
+               labels: Sequence[str] | None = None) -> np.ndarray:
+    """Draw boxes with score labels (util.py:104-128). `labels` gives a
+    class name per box (inspector all-class mode); default 'person'."""
     import cv2
     frame = np.ascontiguousarray(frame)
     if not frame.flags.writeable:  # e.g. np.frombuffer-backed decode
         frame = frame.copy()
-    for box, score in zip(boxes, scores):
+    for i, (box, score) in enumerate(zip(boxes, scores)):
         ymin, xmin, ymax, xmax = [int(v) for v in box]
         color = _score_color(float(score))
         cv2.rectangle(frame, (xmin, ymin), (xmax, ymax), color, thickness)
-        label = f"person: {int(round(float(score) * 100))}%"
+        name = labels[i] if labels is not None else "person"
+        label = f"{name}: {int(round(float(score) * 100))}%"
         (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
         cv2.rectangle(frame, (xmin, ymin - th - 6), (xmin + tw + 2, ymin),
                       color, -1)

@@ -1,0 +1,150 @@
+"""Standalone COCO evaluation CLI over validation TFRecords.
+
+Behavioral parity with the reference eval driver
+(/root/reference/automl/efficientdet/tf2/eval.py:47-126): build the
+detector from a checkpoint, stream `--val-file-pattern` TFRecords through
+it, and print the full 12-metric COCO suite (+ per-class AP when a label
+map is present, eval.py:121-125). Crowd annotations are kept
+(skip_crowd=False) and handled as COCOeval ignore regions — the reference
+gets this via pycocotools; here utils/coco_metric.py implements the same
+semantics natively.
+
+TPU-first deltas: the forward+postprocess is one jitted program; the
+ground truth rides the batch as fixed-shape padded arrays with validity
+and crowd masks instead of a ragged groundtruth_data blob; evaluation is
+host-side numpy on fetched detections (never device time).
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import numpy as np
+
+from ..utils.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def count_examples(file_pattern: str) -> int:
+    """Number of records across the shard glob (for the default
+    'evaluate everything once' behavior, eval.py:108-110)."""
+    import glob
+
+    from ..data.tfrecord import read_tfrecord_file
+
+    n = 0
+    for path in sorted(glob.glob(file_pattern)):
+        for _ in read_tfrecord_file(path):
+            n += 1
+    return n
+
+
+def evaluate(model_name: str, val_file_pattern: str, *,
+             ckpt: Optional[str] = None, batch_size: int = 8,
+             eval_samples: Optional[int] = None,
+             hparams: Optional[str] = None,
+             image_size: Optional[int] = None,
+             score_thresh: float = 0.0, per_class: bool = False,
+             max_instances: Optional[int] = None) -> dict:
+    """Run COCO eval; returns the metric dict (eval.py:115-125)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.tfrecord import DetectionTFRecordReader
+    from ..inference.detector import Detector
+    from ..ops import postprocess
+    from ..utils import label_util
+    from ..utils.coco_metric import COCOEvaluator
+
+    from .. import config as config_lib
+
+    cfg = config_lib.get_efficientdet_config(model_name)
+    if hparams:
+        cfg.override(hparams)
+    if image_size:
+        cfg.image_size = image_size
+
+    total = count_examples(val_file_pattern)
+    n_eval = min(eval_samples, total) if eval_samples else total
+    n_batches = n_eval // batch_size
+    dropped = n_eval - n_batches * batch_size
+    if n_batches == 0:
+        raise ValueError(
+            f"eval needs >= batch_size ({batch_size}) samples; "
+            f"{n_eval} available under {val_file_pattern!r}")
+    if dropped:
+        logger.warning(f"evaluating {n_batches * batch_size}/{n_eval} "
+                       f"samples ({dropped} dropped by batching)")
+
+    # per-class NMS matches the reference eval's generate_detections path
+    # (eval.py:84-88 -> postprocess per_class)
+    det = Detector(model_name=model_name, params=cfg.as_dict(),
+                   ckpt_path=ckpt, post_mode="per_class")
+
+    reader = DetectionTFRecordReader(
+        val_file_pattern, image_size=det.config.image_size,
+        mean_rgb=det.config.mean_rgb, stddev_rgb=det.config.stddev_rgb,
+        max_instances=max_instances or det.config.max_instances_per_image,
+        skip_crowd=False, shuffle=False)
+
+    evaluator = COCOEvaluator()
+    ones = jnp.ones((batch_size,), jnp.float32)
+    batches = reader.batches(batch_size)
+    for b in range(n_batches):
+        batch = next(batches)
+        detections = jax.tree.map(
+            np.asarray, det._serve(jnp.asarray(batch["images"]), ones))
+        for i in range(batch_size):
+            keep = detections.valid[i] & (detections.scores[i]
+                                          >= score_thresh)
+            gt_keep = batch["valid"][i]
+            evaluator.add_image(
+                detections.boxes[i][keep], detections.scores[i][keep],
+                detections.classes[i][keep].astype(int),
+                batch["boxes"][i][gt_keep],
+                batch["classes"][i][gt_keep] + postprocess.CLASS_OFFSET,
+                gt_is_crowd=batch["is_crowd"][i][gt_keep])
+        logger.info(f"batch {b + 1}/{n_batches}")
+
+    metrics = evaluator.result(per_class=per_class)
+    if per_class:
+        # map raw ids to names, the reference's 'AP_/<name>' entries
+        # (eval.py:121-125)
+        label_map = label_util.get_label_map(
+            getattr(cfg, "label_map", None))
+        metrics = {
+            (f"AP_/{label_map.get(int(k[4:]), k[4:])}"
+             if k.startswith("AP_/") and k[4:].lstrip("-").isdigit()
+             else k): v
+            for k, v in metrics.items()}
+    return metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="COCO evaluation over TFRecords")
+    p.add_argument("--model", default="efficientdet-d0")
+    p.add_argument("--val-file-pattern", required=True,
+                   help="glob for eval tfrecords, e.g. coco/val-*.tfrecord")
+    p.add_argument("--ckpt", default=None,
+                   help="native or TF checkpoint dir (auto-converted)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--eval-samples", type=int, default=None,
+                   help="cap on evaluated examples (default: all)")
+    p.add_argument("--hparams", default=None)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--score-thresh", type=float, default=0.0)
+    p.add_argument("--per-class", action="store_true",
+                   help="also report AP_/<class> entries")
+    args = p.parse_args(argv)
+    metrics = evaluate(args.model, args.val_file_pattern, ckpt=args.ckpt,
+                       batch_size=args.batch_size,
+                       eval_samples=args.eval_samples, hparams=args.hparams,
+                       image_size=args.image_size,
+                       score_thresh=args.score_thresh,
+                       per_class=args.per_class)
+    print(args.model, {k: round(float(v), 5) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()
