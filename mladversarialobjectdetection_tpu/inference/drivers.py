@@ -46,6 +46,18 @@ class _ArtifactDriver:
     def _predict(self, images: np.ndarray, scales: np.ndarray):
         raise NotImplementedError
 
+    def predict(self, images: np.ndarray, scales: np.ndarray) -> Detections:
+        """Already-preprocessed images + scales -> Detections in the
+        artifact's output contract (normalized tflite boxes when
+        `normalized_boxes`; original-coord boxes otherwise)."""
+        out = self._predict(np.asarray(images, np.float32),
+                            np.asarray(scales, np.float32))
+        return Detections(*[np.asarray(o) for o in out])
+
+    # True for artifacts emitting the TFLite contract (normalized [0,1]
+    # boxes, 0-based classes); TfliteDriver overrides per layout
+    normalized_boxes = False
+
     def serve(self, raw_frames: Sequence[np.ndarray]) -> Detections:
         """Batch of raw RGB frames -> padded Detections in original coords
         (ServingDriver.serve contract, infer_lib.py:240-252)."""
@@ -53,9 +65,7 @@ class _ArtifactDriver:
             preprocess_host(np.asarray(f), self.config.image_size,
                             self.config.mean_rgb, self.config.stddev_rgb)
             for f in raw_frames])
-        out = self._predict(np.stack(imgs).astype(np.float32),
-                            np.asarray(scales, np.float32))
-        return Detections(*[np.asarray(o) for o in out])
+        return self.predict(np.stack(imgs), np.asarray(scales, np.float32))
 
 
 class StableHloDriver(_ArtifactDriver):
@@ -103,6 +113,9 @@ class TfliteDriver(_ArtifactDriver):
         self._scale_key = next((n for n in names if n != self._img_key),
                                None)
         self._n_out = len(self._runner.get_output_details())
+        # int8 3-output artifacts finish with host NMS in the TFLite
+        # output contract (normalized boxes, 0-based classes)
+        self.normalized_boxes = self._n_out == 3
 
     def _predict(self, images, scales):
         feeds = {self._img_key: images.astype(np.float32)}

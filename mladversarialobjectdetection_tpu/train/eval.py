@@ -40,14 +40,37 @@ def count_examples(file_pattern: str) -> int:
     return n
 
 
+def _build_artifact_driver(artifact: str, model_name: str, params: dict):
+    """Driver for an exported artifact, format inferred from the path
+    (eval_tflite.py LiteRunner analog, generalized to all three export
+    formats)."""
+    import os
+
+    from ..inference import drivers
+
+    if artifact.endswith(".tflite"):
+        return drivers.TfliteDriver(artifact, model_name, params)
+    if os.path.isdir(artifact) and os.path.exists(
+            os.path.join(artifact, "saved_model.pb")):
+        return drivers.SavedModelDriver(artifact, model_name, params)
+    return drivers.StableHloDriver(artifact, model_name, params)
+
+
 def evaluate(model_name: str, val_file_pattern: str, *,
              ckpt: Optional[str] = None, batch_size: int = 8,
              eval_samples: Optional[int] = None,
              hparams: Optional[str] = None,
              image_size: Optional[int] = None,
              score_thresh: float = 0.0, per_class: bool = False,
-             max_instances: Optional[int] = None) -> dict:
-    """Run COCO eval; returns the metric dict (eval.py:115-125)."""
+             max_instances: Optional[int] = None,
+             artifact: Optional[str] = None) -> dict:
+    """Run COCO eval; returns the metric dict (eval.py:115-125).
+
+    With `artifact` set, evaluation runs the exported artifact
+    (StableHLO / SavedModel / TFLite incl. the int8 3-output layout)
+    instead of the live jitted model — the reference's eval_tflite.py
+    (/root/reference/automl/efficientdet/tf2/eval_tflite.py:57-203)
+    extended to every export format."""
     import jax
     import jax.numpy as jnp
 
@@ -77,24 +100,43 @@ def evaluate(model_name: str, val_file_pattern: str, *,
         logger.warning(f"evaluating {n_batches * batch_size}/{n_eval} "
                        f"samples ({dropped} dropped by batching)")
 
-    # per-class NMS matches the reference eval's generate_detections path
-    # (eval.py:84-88 -> postprocess per_class)
-    det = Detector(model_name=model_name, params=cfg.as_dict(),
-                   ckpt_path=ckpt, post_mode="per_class")
+    driver = None
+    if artifact:
+        driver = _build_artifact_driver(artifact, model_name, cfg.as_dict())
+        cfg = driver.config
+    else:
+        # per-class NMS matches the reference eval's generate_detections
+        # path (eval.py:84-88 -> postprocess per_class)
+        det = Detector(model_name=model_name, params=cfg.as_dict(),
+                       ckpt_path=ckpt, post_mode="per_class")
+        cfg = det.config
 
     reader = DetectionTFRecordReader(
-        val_file_pattern, image_size=det.config.image_size,
-        mean_rgb=det.config.mean_rgb, stddev_rgb=det.config.stddev_rgb,
-        max_instances=max_instances or det.config.max_instances_per_image,
+        val_file_pattern, image_size=cfg.image_size,
+        mean_rgb=cfg.mean_rgb, stddev_rgb=cfg.stddev_rgb,
+        max_instances=max_instances or cfg.max_instances_per_image,
         skip_crowd=False, shuffle=False)
 
     evaluator = COCOEvaluator()
     ones = jnp.ones((batch_size,), jnp.float32)
+    ih, iw = cfg.image_size if isinstance(cfg.image_size, tuple) else (
+        cfg.image_size, cfg.image_size)
     batches = reader.batches(batch_size)
     for b in range(n_batches):
         batch = next(batches)
-        detections = jax.tree.map(
-            np.asarray, det._serve(jnp.asarray(batch["images"]), ones))
+        if driver is not None:
+            detections = driver.predict(batch["images"],
+                                        np.ones((batch_size,), np.float32))
+            if driver.normalized_boxes:
+                # TFLite output contract -> model-input pixel coords +
+                # 1-based classes, matching the ground truth
+                detections = detections._replace(
+                    boxes=detections.boxes * np.asarray(
+                        [ih, iw, ih, iw], np.float32),
+                    classes=detections.classes + postprocess.CLASS_OFFSET)
+        else:
+            detections = jax.tree.map(
+                np.asarray, det._serve(jnp.asarray(batch["images"]), ones))
         for i in range(batch_size):
             keep = detections.valid[i] & (detections.scores[i]
                                           >= score_thresh)
@@ -136,13 +178,17 @@ def main(argv=None):
     p.add_argument("--score-thresh", type=float, default=0.0)
     p.add_argument("--per-class", action="store_true",
                    help="also report AP_/<class> entries")
+    p.add_argument("--artifact", default=None,
+                   help="evaluate an exported artifact (.tflite flatbuffer,"
+                        " SavedModel dir, or StableHLO file) instead of the"
+                        " live model (eval_tflite.py analog)")
     args = p.parse_args(argv)
     metrics = evaluate(args.model, args.val_file_pattern, ckpt=args.ckpt,
                        batch_size=args.batch_size,
                        eval_samples=args.eval_samples, hparams=args.hparams,
                        image_size=args.image_size,
                        score_thresh=args.score_thresh,
-                       per_class=args.per_class)
+                       per_class=args.per_class, artifact=args.artifact)
     print(args.model, {k: round(float(v), 5) for k, v in metrics.items()})
 
 

@@ -108,6 +108,38 @@ def test_eval_cli_over_fake_tfrecords(tmp_path):
     assert "AP_/person" in metrics
 
 
+@pytest.mark.slow
+def test_eval_artifact_matches_live_model(tmp_path):
+    """eval --artifact (the eval_tflite.py analog generalized to all
+    export formats) reproduces the live model's metrics exactly: export
+    the deterministic tiny per_class detector to StableHLO, evaluate the
+    artifact, compare to the live eval."""
+    from mladversarialobjectdetection_tpu.data import tfrecord as tfr
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.train import eval as eval_cli
+
+    path = str(tmp_path / "val.tfrecord")
+    tfr.write_fake_tfrecord(path, n=4, image_hw=(64, 64))
+
+    live = eval_cli.evaluate("efficientdet-lite0", path, batch_size=2,
+                             hparams=TINY, score_thresh=0.0)
+
+    # same model_name/params/seed -> identical random weights as the
+    # Detector evaluate() builds internally
+    cfg = inspector.build_detector("efficientdet-lite0",
+                                   hparams=TINY).config
+    det = Detector(model_name="efficientdet-lite0", params=cfg.as_dict(),
+                   post_mode="per_class")
+    artifact = str(tmp_path / "model.stablehlo")
+    det.export(artifact, fmt="stablehlo", batch_size=2)
+
+    arte = eval_cli.evaluate("efficientdet-lite0", path, batch_size=2,
+                             hparams=TINY, score_thresh=0.0,
+                             artifact=artifact)
+    for k in live:
+        assert arte[k] == pytest.approx(live[k], abs=1e-6), k
+
+
 def test_eval_cli_eval_samples_cap(tmp_path):
     from mladversarialobjectdetection_tpu.data import tfrecord as tfr
     from mladversarialobjectdetection_tpu.train import eval as eval_cli
