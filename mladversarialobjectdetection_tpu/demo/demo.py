@@ -77,7 +77,9 @@ def main(save_dir: str, input_file: Optional[str] = None, *,
     detector = make_demo_detector(model_name, detector_ckpt, detector_params)
 
     if patch_dir:
-        patch_np, scale = artifacts.load_patch_dir(patch_dir)
+        patch_np, scale = artifacts.load_patch_dir(
+            patch_dir, detector.config.mean_rgb,
+            detector.config.stddev_rgb)
         adv = AdversarialPatch(scale=scale, patch_array=patch_np)
     else:
         adv = AdversarialPatch(scale=0.4)

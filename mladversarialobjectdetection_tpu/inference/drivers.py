@@ -60,12 +60,26 @@ class _ArtifactDriver:
 
     def serve(self, raw_frames: Sequence[np.ndarray]) -> Detections:
         """Batch of raw RGB frames -> padded Detections in original coords
-        (ServingDriver.serve contract, infer_lib.py:240-252)."""
+        (ServingDriver.serve contract, infer_lib.py:240-252). Artifacts
+        emitting the normalized TFLite contract are rescaled to original
+        coords + 1-based classes here, exactly like the reference
+        TfliteDriver.serve (infer_lib.py:343-350)."""
+        from ..ops.postprocess import CLASS_OFFSET
+        from ..utils.image import parse_image_size
+
         imgs, scales = zip(*[
             preprocess_host(np.asarray(f), self.config.image_size,
                             self.config.mean_rgb, self.config.stddev_rgb)
             for f in raw_frames])
-        return self.predict(np.stack(imgs), np.asarray(scales, np.float32))
+        scales = np.asarray(scales, np.float32)
+        det = self.predict(np.stack(imgs), scales)
+        if self.normalized_boxes:
+            h, w = parse_image_size(self.config.image_size)
+            factor = (np.asarray([h, w, h, w], np.float32)
+                      * scales[:, None, None])
+            det = det._replace(boxes=det.boxes * factor,
+                               classes=det.classes + CLASS_OFFSET)
+        return det
 
 
 class StableHloDriver(_ArtifactDriver):
@@ -128,8 +142,9 @@ class TfliteDriver(_ArtifactDriver):
             # int8 artifact layout: (box encodings, scores, anchors) — the
             # TFLite-NMS op's inputs (the NMS itself is outside the
             # quantized graph, matching the reference INT8 export); finish
-            # with the op's semantics. Boxes stay NORMALIZED (the tflite
-            # output contract, like Detector(post_mode='tflite')).
+            # with the op's semantics. predict() keeps the NORMALIZED
+            # tflite contract; serve() rescales to original coords
+            # (infer_lib.py:343-350 parity).
             from ..ops.postprocess import tflite_detections_from_pre
             det = tflite_detections_from_pre(self.config.as_dict(), *outs)
             return list(det)

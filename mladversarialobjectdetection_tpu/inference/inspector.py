@@ -145,7 +145,7 @@ def run_dry(det, export_ckpt: Optional[str] = None) -> None:
         logger.info(f"native checkpoint written to {export_ckpt}")
 
 
-def run_video(det, input_video: str, output_video: Optional[str], *,
+def run_video(det, input_video: str, output_video: str, *,
               min_score: Optional[float] = None, batch_size: int = 4,
               max_frames: Optional[int] = None) -> int:
     """Annotate a video end-to-end; returns frames written
@@ -157,6 +157,9 @@ def run_video(det, input_video: str, output_video: Optional[str], *,
 
     from .streaming import Stream
 
+    if not output_video:
+        # the whole video would be served + annotated for nothing
+        raise ValueError("run_video needs an output_video path")
     stream = Stream(input_video)
     min_score = (det.config.nms_configs.score_thresh or 0.4
                  if min_score is None else min_score)
@@ -178,14 +181,12 @@ def run_video(det, input_video: str, output_video: Optional[str], *,
         # serve_pipelined strips the batch dim; _annotate indexes dim 0
         batched = jax.tree.map(lambda a: a[None], detections)
         img = _annotate(det, frame, batched, 0, min_score, max_boxes)
-        if output_video:
-            if writer is None:
-                h, w = img.shape[:2]
-                writer = cv2.VideoWriter(
-                    output_video, cv2.VideoWriter_fourcc(*"mp4v"), 24,
-                    (w, h))
-            writer.write(np.ascontiguousarray(img[:, :, ::-1]))  # RGB->BGR
-            written += 1
+        if writer is None:
+            h, w = img.shape[:2]
+            writer = cv2.VideoWriter(
+                output_video, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+        writer.write(np.ascontiguousarray(img[:, :, ::-1]))  # RGB->BGR
+        written += 1
     if writer is not None:
         writer.release()
         logger.info(f"wrote {written} annotated frames to {output_video}")
@@ -250,16 +251,20 @@ def main(argv=None):
             if not args.rep_image_dir:
                 p.error("INT8 export needs --rep-image-dir")
             from PIL import Image
-            rep = [np.asarray(Image.open(os.path.join(args.rep_image_dir, f))
-                              .convert("RGB"))
-                   for f in sorted(os.listdir(args.rep_image_dir))]
+            exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+            rep = [np.asarray(Image.open(path).convert("RGB"))
+                   for f in sorted(os.listdir(args.rep_image_dir))
+                   if (path := os.path.join(args.rep_image_dir, f)
+                       ).lower().endswith(exts) and os.path.isfile(path)]
+            if not rep:
+                p.error(f"no calibration images in {args.rep_image_dir}")
         det.export(args.saved_model_dir, fmt=fmt,
                    batch_size=args.batch_size, quantize=quant,
                    representative_frames=rep)
         logger.info(f"model exported to {args.saved_model_dir}")
     elif args.mode == "video":
-        if not args.input_video:
-            p.error("video mode needs --input-video")
+        if not args.input_video or not args.output_video:
+            p.error("video mode needs --input-video and --output-video")
         run_video(det, args.input_video, args.output_video,
                   min_score=args.min_score, batch_size=args.batch_size)
 

@@ -117,10 +117,11 @@ def evaluate(model_name: str, val_file_pattern: str, *,
         max_instances=max_instances or cfg.max_instances_per_image,
         skip_crowd=False, shuffle=False)
 
+    from ..utils.image import parse_image_size
+
     evaluator = COCOEvaluator()
     ones = jnp.ones((batch_size,), jnp.float32)
-    ih, iw = cfg.image_size if isinstance(cfg.image_size, tuple) else (
-        cfg.image_size, cfg.image_size)
+    ih, iw = parse_image_size(cfg.image_size)  # int | 'WxH' | tuple
     batches = reader.batches(batch_size)
     for b in range(n_batches):
         batch = next(batches)

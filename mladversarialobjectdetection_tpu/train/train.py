@@ -139,10 +139,13 @@ def train(model_name: str = "efficientdet-d0", *,
         ckpt_io.save_state_bytes(
             os.path.join(model_dir, "state-latest.msgpack"), state)
         if val_pattern and (epoch + 1) % map_freq == 0:
+            # skip_crowd=False: crowds ride the batch as ignore regions
+            # (COCOeval semantics), consistent with train/eval.py
             val_reader = DetectionTFRecordReader(
                 val_pattern, image_size=config.image_size,
                 mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
-                max_instances=config.max_instances_per_image, shuffle=False)
+                max_instances=config.max_instances_per_image, shuffle=False,
+                skip_crowd=False)
             res = evaluate_map(trainer, state,
                                val_reader.batches(batch_size), eval_batches)
             mlog.log(int(state.step), res, prefix="eval/")

@@ -156,10 +156,28 @@ def test_tflite_int8_export_reserves(tmp_path):
     assert out_s.shape == ref_s.shape
     delta = np.abs(out_s - ref_s).max()
     assert delta < 0.15, f"int8 score delta {delta}"
-    # boxes are normalized [0,1]-ish (tflite contract) on both sides
-    vb = np.asarray(out.boxes)[np.asarray(out.valid).astype(bool)]
+    # serve() rescales the normalized tflite contract to ORIGINAL frame
+    # coords + 1-based classes (reference TfliteDriver.serve parity,
+    # infer_lib.py:343-350): valid boxes land at 80x100-frame scale.
+    # Neither side clips, so decoded boxes may overshoot the frame
+    # (normalized coords slightly outside [0,1]) — bound loosely.
+    valid = np.asarray(out.valid).astype(bool)
+    vb = np.asarray(out.boxes)[valid]
     if vb.size:
-        assert float(vb.max()) < 1.5 and float(vb.min()) > -0.5
+        assert 1.5 < float(vb.max()) <= 200.0 and float(vb.min()) > -50.0
+        assert int(np.asarray(out.classes)[valid].min()) >= 1
+    # predict() keeps the raw normalized artifact contract for consumers
+    # feeding preprocessed inputs (train/eval.py --artifact)
+    from mladversarialobjectdetection_tpu.ops.preprocess import (
+        preprocess_host)
+    imgs, scales = zip(*[preprocess_host(f, driver.config.image_size,
+                                         driver.config.mean_rgb,
+                                         driver.config.stddev_rgb)
+                         for f in raw])
+    pred = driver.predict(np.stack(imgs), np.asarray(scales, np.float32))
+    pb = np.asarray(pred.boxes)[np.asarray(pred.valid).astype(bool)]
+    if pb.size:
+        assert float(pb.max()) < 1.5 and float(pb.min()) > -0.5
 
 
 @pytest.mark.slow
