@@ -108,8 +108,10 @@ class SegmentationHead(nn.Module):
 
     Parity with reference tf2/efficientdet_keras.py:635-697
     (`SegmentationHead`): start from the coarsest pyramid level, repeatedly
-    transpose-conv upsample and add the next finer level, then predict
-    per-pixel classes at the min_level resolution.
+    transpose-conv upsample (no bias — BN follows) and concat the next finer
+    level, then a final stride-2 transpose conv predicts per-pixel classes
+    at half the min_level stride (512 input @ min_level 3 -> 128×128 logits,
+    the reference demo's mask resolution, tf2/segmentation.py:39).
     """
     num_classes: int
     num_filters: int
@@ -122,7 +124,7 @@ class SegmentationHead(nn.Module):
         skips = list(reversed(feats[:-1]))
         for i, skip in enumerate(skips):
             x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
-                                 name=f"up_{i}")(x)
+                                 use_bias=False, name=f"up_{i}")(x)
             # the (s-1)//2+1 pyramid is not an exact power-of-two chain at
             # small sizes; crop the upsample to the skip's static shape
             x = x[:, :skip.shape[1], :skip.shape[2], :]
@@ -130,7 +132,8 @@ class SegmentationHead(nn.Module):
                           name=f"bn_{i}")(x, training)
             x = activation(x, self.act_type)
             x = jnp.concatenate([x, skip], axis=-1)
-        return nn.Conv(self.num_classes, (3, 3), name="predict")(x)
+        return nn.ConvTranspose(self.num_classes, (3, 3), strides=(2, 2),
+                                name="predict")(x)
 
 
 def box_net(num_anchors: int, num_filters: int, num_levels: int,

@@ -29,8 +29,9 @@ def test_segmentation_head():
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(0)}, x, training=False)
     cls_out, box_out, seg = net.apply(variables, x, False)
-    # seg predicted at min_level (stride 8) resolution
-    assert seg.shape == (1, 8, 8, 5)
+    # seg predicted at half the min_level stride (final stride-2 transpose,
+    # reference efficientdet_keras.py:682-697: 64x64 -> 128x128 for 512 in)
+    assert seg.shape == (1, 16, 16, 5)
     assert len(cls_out) == 5
 
 
@@ -43,7 +44,7 @@ def test_segmentation_only():
     variables = jax.jit(net.init, static_argnames=("training",))(
         {"params": jax.random.PRNGKey(0)}, x, training=False)
     (seg,) = net.apply(variables, x, False)
-    assert seg.shape == (1, 8, 8, 3)
+    assert seg.shape == (1, 16, 16, 3)
 
 
 @pytest.mark.slow

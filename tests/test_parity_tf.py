@@ -219,3 +219,68 @@ def test_nms_parity(tf_env):
         assert list(np.asarray(idx)[:k]) == list(np.asarray(ours.indices)[:k]), method
         assert np.allclose(np.asarray(tf_scores)[:k],
                            np.asarray(ours.scores)[:k], atol=1e-5), method
+
+
+def test_segmentation_head_parity(tf_env):
+    """Our SegmentationHead matches the reference keras layer numerically.
+
+    Standalone golden (reference tf2/efficientdet_keras.py:635-697): build
+    the reference SegmentationHead on a random 5-level pyramid with
+    randomized BN affine + moving stats, convert every weight (keras
+    Conv2DTranspose (kh,kw,out,in) -> flax (kh,kw,in,out) with spatial
+    flip, the convention verified by ckpt/convert_defense.py), and require
+    forward agreement at the stride-2-upsampled output resolution.
+    """
+    tf = tf_env
+    from tf2 import efficientdet_keras as ref_keras
+
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.models import heads as our_heads
+
+    tf.keras.backend.clear_session()
+    tf.random.set_seed(0)
+    rng = np.random.RandomState(0)
+    nf, nc = 16, 5
+    sizes = [16, 8, 4, 2, 1]  # exact x2 chain (min_level 3, 128px input)
+    feats_np = [rng.normal(0, 1, (2, s, s, nf)).astype(np.float32)
+                for s in sizes]
+
+    ref = ref_keras.SegmentationHead(
+        num_classes=nc, num_filters=nf, min_level=3, max_level=7,
+        data_format="channels_last", is_training_bn=False,
+        act_type="swish", strategy=None)
+    ref([tf.constant(f) for f in feats_np], False)  # build
+    for bn in ref.con2d_t_bns:
+        bn.gamma.assign(rng.uniform(0.5, 1.5, bn.gamma.shape)
+                        .astype(np.float32))
+        bn.beta.assign(rng.normal(0, 0.2, bn.beta.shape).astype(np.float32))
+        bn.moving_mean.assign(rng.normal(0, 0.3, bn.moving_mean.shape)
+                              .astype(np.float32))
+        bn.moving_variance.assign(
+            rng.uniform(0.5, 2.0, bn.moving_variance.shape)
+            .astype(np.float32))
+    ref_out = ref([tf.constant(f) for f in feats_np], False).numpy()
+    assert ref_out.shape == (2, 32, 32, nc)
+
+    ours = our_heads.SegmentationHead(nc, nf, "swish", None)
+    feats_j = [jnp.asarray(f) for f in feats_np]
+    v = jax.tree.map(np.asarray, ours.init(
+        {"params": jax.random.PRNGKey(0)}, feats_j, False))
+
+    def t(k):  # keras Conv2DTranspose kernel -> flax ConvTranspose kernel
+        return np.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+
+    params, stats = v["params"], v["batch_stats"]
+    for i, (ct, bn) in enumerate(zip(ref.con2d_ts, ref.con2d_t_bns)):
+        params[f"up_{i}"]["kernel"] = t(ct.kernel.numpy())
+        params[f"bn_{i}"]["bn"]["scale"] = bn.gamma.numpy()
+        params[f"bn_{i}"]["bn"]["bias"] = bn.beta.numpy()
+        stats[f"bn_{i}"]["bn"]["mean"] = bn.moving_mean.numpy()
+        stats[f"bn_{i}"]["bn"]["var"] = bn.moving_variance.numpy()
+    params["predict"]["kernel"] = t(ref.head_transpose.kernel.numpy())
+    params["predict"]["bias"] = ref.head_transpose.bias.numpy()
+
+    out = np.asarray(ours.apply(v, feats_j, False))
+    assert out.shape == ref_out.shape
+    assert np.abs(out - ref_out).max() < 1e-4
