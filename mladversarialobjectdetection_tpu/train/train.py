@@ -65,7 +65,9 @@ def train(model_name: str = "efficientdet-d0", *,
           model_dir: str = "detector_out", batch_size: int = 8,
           num_epochs: int | None = None, steps_per_epoch: int = 1000,
           eval_batches: int = 50, map_freq: int = 5, image_size=None,
-          seed: int = 0, resume: bool = False, config_override=None):
+          seed: int = 0, resume: bool = False, config_override=None,
+          prune_sparsity: float | None = None, prune_begin: int = 0,
+          prune_end: int | None = None):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
@@ -89,6 +91,25 @@ def train(model_name: str = "efficientdet-d0", *,
         logger.info(f"resumed from {latest} at epoch {start_epoch}")
     state = replicate(mesh, state)
     train_step = jax.jit(trainer.train_step, donate_argnums=0)
+
+    prune_fn = None
+    if prune_sparsity:
+        # prune-during-training (tf2/tfmot.py 'prune' method): re-mask
+        # kernels by magnitude after each update, sparsity ramped by
+        # tfmot's PolynomialDecay schedule
+        from ..utils import sparsity as sparsity_lib
+        sched = sparsity_lib.PolynomialDecaySchedule(
+            final_sparsity=prune_sparsity, begin_step=prune_begin,
+            end_step=(prune_end if prune_end is not None
+                      else config.num_epochs * steps_per_epoch))
+        pruner = sparsity_lib.MagnitudePruner(sched)
+
+        @jax.jit
+        def prune_fn(s):
+            params = pruner.prune(s.params, s.step)
+            # the EMA shadow follows the mask, so EMA-eval stays sparse
+            ema = sparsity_lib.mask_like(params, s.ema_params)
+            return s._replace(params=params, ema_params=ema)
 
     if train_pattern:
         reader = DetectionTFRecordReader(
@@ -128,7 +149,14 @@ def train(model_name: str = "efficientdet-d0", *,
             state, metrics = train_step(state, batch["images"],
                                         batch["boxes"], batch["classes"],
                                         batch["valid"])
+            if prune_fn is not None:
+                state = prune_fn(state)
             thr.count(batch_size)
+        if prune_fn is not None:
+            from ..utils.sparsity import sparsity_report
+            metrics = dict(metrics)
+            metrics["sparsity"] = sparsity_report(
+                jax.device_get(state.params))["overall"]
         mlog.log(int(state.step),
                  {k: float(v) for k, v in metrics.items()}, prefix="train/")
         logger.info(f"epoch {epoch}: loss={float(metrics['loss']):.4f} "
@@ -171,12 +199,20 @@ def main():
     p.add_argument("--hparams", default=None,
                    help="config override: 'k=v,k=v' string or yaml path "
                         "(reference tf2/train.py --hparams)")
+    p.add_argument("--prune-sparsity", type=float, default=None,
+                   help="magnitude-prune kernels during training to this "
+                        "final sparsity (tf2/tfmot.py 'prune' method)")
+    p.add_argument("--prune-begin", type=int, default=0)
+    p.add_argument("--prune-end", type=int, default=None,
+                   help="step at which the sparsity ramp ends "
+                        "(default: last training step)")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
           num_epochs=a.num_epochs, steps_per_epoch=a.steps_per_epoch,
           image_size=a.image_size, resume=a.resume,
-          config_override=a.hparams)
+          config_override=a.hparams, prune_sparsity=a.prune_sparsity,
+          prune_begin=a.prune_begin, prune_end=a.prune_end)
 
 
 if __name__ == "__main__":
