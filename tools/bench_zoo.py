@@ -88,21 +88,21 @@ def main():
     models = ([m if m.startswith("efficientdet") else f"efficientdet-{m}"
                for m in a.models] if a.models else ALL_MODELS)
 
+    import jax
     results = {}
+    payload = {"device": str(jax.devices()[0].device_kind),
+               "dtype": "bf16 activations / f32 params",
+               "program": "serve = forward + postprocess_global",
+               "results": results}
     for m in models:
         try:
             results[m] = bench_model(m, tuple(a.batches), a.iters)
         except Exception as e:  # record and continue the sweep
             print(f"{m}: FAILED {type(e).__name__}: {e}", flush=True)
             results[m] = {"error": f"{type(e).__name__}: {e}"}
-
-    import jax
-    payload = {"device": str(jax.devices()[0].device_kind),
-               "dtype": "bf16 activations / f32 params",
-               "program": "serve = forward + postprocess_global",
-               "results": results}
-    with open(a.out, "w") as f:
-        json.dump(payload, f, indent=1)
+        # checkpoint the sweep after every model so a partial run lands
+        with open(a.out, "w") as f:
+            json.dump(payload, f, indent=1)
     print(f"\nwrote {a.out}\n")
 
     # markdown table
