@@ -158,11 +158,38 @@ def sparsity_report(params) -> Dict[str, Any]:
             "overall": (zeros / total) if total else 0.0}
 
 
+def _quantize_method():
+    from ..inference import quantize as _q
+    return _q
+
+
+_optimization_methods: Dict[str, Any] = {}
+
+
+def set_config(configs: Dict[str, Dict[str, Any]]) -> None:
+    """tfmot.py:37-43: pre-bind kwargs onto a registry method.
+
+    e.g. ``set_config({'prune': {'sparsity': 0.8}})`` makes
+    ``get_method('prune')(params)`` prune at 0.8.
+    """
+    import functools
+    for key, kwargs in configs.items():
+        if key == "prune":
+            _optimization_methods[key] = functools.partial(
+                prune_low_magnitude, **kwargs)
+        elif key == "quantize":
+            _optimization_methods[key] = functools.partial(
+                _quantize_method().quantize_conv_params, **kwargs)
+        else:
+            raise KeyError(f"only support ['prune', 'quantize'], got {key!r}")
+
+
 def get_method(method: str):
     """tfmot.py:46-49 registry parity: supported optimization methods."""
+    if method in _optimization_methods:
+        return _optimization_methods[method]
     if method == "prune":
         return prune_low_magnitude
     if method == "quantize":
-        from ..inference import quantize as _q
-        return _q
+        return _quantize_method()
     raise KeyError(f"only support ['prune', 'quantize'], got {method!r}")

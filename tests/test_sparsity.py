@@ -94,6 +94,21 @@ def test_get_method_registry():
         sp.get_method("distill")
 
 
+def test_set_config_binds_kwargs():
+    """tfmot.py:37-43 set_config: pre-bound method kwargs."""
+    try:
+        sp.set_config({"prune": {"sparsity": 0.75}})
+        bound = sp.get_method("prune")
+        pruned, _ = bound(_tree())
+        rep = sp.sparsity_report(pruned)
+        assert abs(rep["overall"] - 0.75) < 0.02
+        with pytest.raises(KeyError):
+            sp.set_config({"distill": {}})
+    finally:
+        sp._optimization_methods.clear()
+    assert sp.get_method("prune") is sp.prune_low_magnitude
+
+
 def test_mask_like_follows_reference_zeros():
     params = _tree()
     pruned, _ = sp.prune_low_magnitude(params, 0.5)
