@@ -173,6 +173,8 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
 def main():
     import argparse
     import os
+    import sys
+    import threading
 
     from mladversarialobjectdetection_tpu.utils.debug import (
         enable_compilation_cache)
@@ -182,6 +184,23 @@ def main():
     p.add_argument("--batch", type=int, default=24)
     args = p.parse_args()
     enable_compilation_cache()  # reuse compiled programs across bench runs
+
+    # Fail fast when the device tunnel is unreachable: backend init
+    # otherwise blocks forever and the harness records nothing actionable.
+    ready = threading.Event()
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+
+    def watchdog():
+        if not ready.wait(init_timeout):
+            print(f"bench: device backend failed to initialize within "
+                  f"{init_timeout:.0f}s (tunnel down?)", file=sys.stderr,
+                  flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    jax.local_device_count()  # forces backend init under the watchdog
+    ready.set()
     ips = bench_attack_train(batch_size=args.batch, regime=args.regime,
                              verbose=bool(os.environ.get("BENCH_VERBOSE")))
     print(json.dumps({
