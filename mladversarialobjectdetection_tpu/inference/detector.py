@@ -32,7 +32,7 @@ class Detector:
 
     def __init__(self, *, model_name: str = "efficientdet-lite4",
                  params=None, ckpt_path: str | None = None, seed: int = 0,
-                 post_mode: str = "global"):
+                 post_mode: str = "global", mesh=None):
         """
         Args:
           model_name: efficientdet variant.
@@ -44,8 +44,14 @@ class Detector:
             (EfficientDetModel post_mode parity, efficientdet_keras.py:944-963).
             'tflite' returns the TFLite custom-op output contract —
             normalized [0,1] boxes, 0-based classes, no scale-back.
+          mesh: optional jax.sharding.Mesh (parallel.make_mesh /
+            make_hybrid_mesh). Serving then runs SPMD data-parallel:
+            variables replicated, the batch dim sharded over the mesh
+            (padded up to a multiple of its size), results unpadded —
+            multi-chip serving beyond the reference's one-device drivers.
         """
         self.post_mode = post_mode
+        self.mesh = mesh
         self.config = config_lib.get_efficientdet_config(model_name)
         if params:
             self.config.override(params, allow_new_keys=False)
@@ -67,11 +73,37 @@ class Detector:
                 restored = ckpt_io.load_pytree(ckpt_path)
                 self.variables = jax.tree.map(lambda _, r: r, self.variables,
                                               restored)
+        if mesh is not None:
+            from ..parallel import replicate
+            self.variables = replicate(mesh, self.variables)
         self._params_dict = self.config.as_dict()
         self._forward = lambda images: self.net.apply(self.variables,
                                                       images, False)
         self._serve = jax.jit(self._serve_impl)
         self._serve_raw = jax.jit(self._serve_raw_impl)
+
+    def _put_batch(self, images: np.ndarray, scales):
+        """Device placement for a serve batch.
+
+        Without a mesh: plain transfers. With one: pad the batch up to a
+        multiple of the mesh size (repeating the last frame) and shard
+        dim 0 over the mesh — XLA then partitions the whole serve program
+        data-parallel. Returns (images, scales, original_batch)."""
+        b = images.shape[0]
+        if self.mesh is None:
+            return (jnp.asarray(images),
+                    None if scales is None else jnp.asarray(scales), b)
+        from ..parallel import batch_sharding
+        pad = (-b) % self.mesh.size
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+            if scales is not None:
+                scales = np.concatenate(
+                    [scales, np.repeat(scales[-1:], pad, 0)])
+        sharding = batch_sharding(self.mesh)
+        return (jax.device_put(images, sharding),
+                None if scales is None else jax.device_put(
+                    np.asarray(scales), sharding), b)
 
     def quantize_int8(self, representative_frames, *,
                       skip_patterns=None) -> None:
@@ -237,14 +269,16 @@ class Detector:
             raw = np.stack([np.asarray(f) for f in raw_frames])
             if raw.dtype != np.uint8:
                 raise ValueError("device_preprocess expects uint8 frames")
-            return jax.tree.map(np.asarray,
-                                self._serve_raw(jnp.asarray(raw)))
+            raw, _, b = self._put_batch(raw, None)
+            return jax.tree.map(lambda a: np.asarray(a)[:b],
+                                self._serve_raw(raw))
         imgs, scales = zip(*[
             preprocess_host(f, self.config.image_size, self.config.mean_rgb,
                             self.config.stddev_rgb) for f in raw_frames])
-        images = jnp.asarray(np.stack(imgs))
-        return jax.tree.map(np.asarray,
-                            self._serve(images, jnp.asarray(scales)))
+        images, scales, b = self._put_batch(
+            np.stack(imgs), np.asarray(scales, np.float32))
+        return jax.tree.map(lambda a: np.asarray(a)[:b],
+                            self._serve(images, scales))
 
     def infer(self, frame: np.ndarray, max_boxes: int = 200
               ) -> Tuple[List[tuple], List[float]]:
@@ -350,8 +384,10 @@ class Detector:
 
         def put(item):
             imgs, scales, n = item
-            return (jnp.asarray(imgs),
-                    None if scales is None else jnp.asarray(scales), n)
+            imgs, scales, _ = self._put_batch(
+                imgs, None if scales is None
+                else np.asarray(scales, np.float32))
+            return imgs, scales, n
 
         for imgs, scales, n in prefetch(host_batches(), device_put_fn=put):
             if device_preprocess:

@@ -83,3 +83,52 @@ def test_attack_step_on_hybrid_mesh(tiny_detector, rand_images):
     p_hyb, l_hyb = run(make_hybrid_mesh(dcn_size=2))
     assert l_hyb == pytest.approx(l_flat, rel=1e-5)
     assert np.allclose(p_hyb, p_flat, atol=1e-6)
+
+
+_TINY_DET_PARAMS = {"image_size": 64, "fpn_num_filters": 16,
+                    "fpn_cell_repeats": 1, "box_class_repeats": 1,
+                    "nms_configs": {"score_thresh": 0.0,
+                                    "pre_nms_topk": 64,
+                                    "max_output_size": 16}}
+
+
+def test_sharded_serving_matches_single_device():
+    """Detector(mesh=...): the SPMD data-parallel serve program must
+    reproduce the one-device results, including a batch that does not
+    divide the mesh (padding path) and device_preprocess mode."""
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(5)]  # 5 does not divide 8 -> exercises padding
+    ref = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS)
+    par = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS,
+                   mesh=make_mesh())
+
+    d_ref = ref.serve(frames)
+    d_par = par.serve(frames)
+    assert d_par.boxes.shape == d_ref.boxes.shape  # padding stripped
+    np.testing.assert_allclose(d_par.scores, d_ref.scores, atol=1e-5)
+    np.testing.assert_allclose(d_par.boxes, d_ref.boxes, atol=1e-3)
+    np.testing.assert_array_equal(d_par.classes, d_ref.classes)
+
+    r_ref = ref.serve(frames, device_preprocess=True)
+    r_par = par.serve(frames, device_preprocess=True)
+    np.testing.assert_allclose(r_par.scores, r_ref.scores, atol=1e-5)
+    np.testing.assert_allclose(r_par.boxes, r_ref.boxes, atol=1e-3)
+
+
+def test_sharded_serve_pipelined_matches():
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    rng = np.random.default_rng(1)
+    frames = [rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+              for _ in range(5)]
+    ref = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS)
+    par = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS,
+                   mesh=make_mesh())
+    out_ref = list(ref.serve_pipelined(iter(frames), batch_size=2))
+    out_par = list(par.serve_pipelined(iter(frames), batch_size=2))
+    assert len(out_par) == len(out_ref) == 5
+    for a, b in zip(out_par, out_ref):
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
