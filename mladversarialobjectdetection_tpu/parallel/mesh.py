@@ -68,8 +68,14 @@ def make_hybrid_mesh(dcn_size: Optional[int] = None,
                 f"dcn_size == process_count, got dcn_size={dcn_size}; pass "
                 "dcn_size=None to use the process count")
         from jax.experimental import mesh_utils
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            (1, n // dcn_size), (dcn_size, 1), devices=devices)
+        try:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, n // dcn_size), (dcn_size, 1), devices=devices)
+        except ValueError:
+            # devices without slice/process granule attributes (e.g. CPU
+            # multi-process): jax.devices() is process-major, so the plain
+            # reshape gives the same hosts-outer / ICI-inner layout
+            dev_array = np.asarray(devices).reshape(dcn_size, n // dcn_size)
     else:
         # jax.devices() is process-major already; reshape keeps each host's
         # chips contiguous on the inner axis
@@ -78,9 +84,22 @@ def make_hybrid_mesh(dcn_size: Optional[int] = None,
 
 
 def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
-    """Largest data-parallel mesh whose size divides the global batch."""
+    """Largest data-parallel mesh whose size divides the global batch.
+
+    On a multi-host deployment (jax.process_count() > 1) this returns the
+    DCN-aware hybrid ('dcn','data') mesh so every train driver gets the
+    hierarchical gradient reduction automatically; there the batch must
+    divide the full device count (trimming devices is not possible when
+    every process has to participate in the program).
+    """
     devices = jax.devices()
     n = len(devices)
+    if jax.process_count() > 1:
+        if batch_size % n != 0:
+            raise ValueError(
+                f"multi-host training needs batch_size divisible by the "
+                f"{n} global devices, got {batch_size}")
+        return make_hybrid_mesh(devices=devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
     return Mesh(np.asarray(devices[:n]), (axis_name,))

@@ -132,3 +132,16 @@ def test_sharded_serve_pipelined_matches():
     assert len(out_par) == len(out_ref) == 5
     for a, b in zip(out_par, out_ref):
         np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+
+
+def test_make_mesh_for_batch_multihost_is_hybrid(monkeypatch):
+    """On multi-host (process_count > 1) the drivers' mesh factory must
+    return the DCN-aware hybrid layout (or reject a non-divisible batch)."""
+    from mladversarialobjectdetection_tpu.parallel import (mesh as mesh_lib,
+                                                           make_mesh_for_batch)
+    monkeypatch.setattr(mesh_lib.jax, "process_count", lambda: 2)
+    m = make_mesh_for_batch(16)
+    assert m.axis_names == ("dcn", "data")
+    assert m.devices.shape == (2, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh_for_batch(12)
