@@ -83,22 +83,69 @@ def iou_loss(pred, target, loss_type: str = "iou"):
     return jnp.where(is_pad, 0.0, 1.0 - val)
 
 
+def _ref_quirk_diou(gt, pred):
+    """Pairwise DIoU with the reference's exact quirks
+    (regression_loss.py:101-142 `diou_loss`, returned as diou = 1 - loss):
+
+    - the "centre" is computed as (ymin + height, xmin + width) — i.e. the
+      bottom-right CORNER, not the centre (regression_loss.py:130-131);
+      kept bit-for-bit since parity is the point of this op
+    - gt height/width/area are NOT clamped to >= 0 (regression_loss.py:45-47)
+      while pred's are (regression_loss.py:115-116)
+    - divide_no_nan guards (exact-zero denominators yield 0)
+    """
+    gt_h = gt[..., 2] - gt[..., 0]
+    gt_w = gt[..., 3] - gt[..., 1]
+    gt_area = gt_h * gt_w
+    pr_h = jnp.maximum(0.0, pred[..., 2] - pred[..., 0])
+    pr_w = jnp.maximum(0.0, pred[..., 3] - pred[..., 1])
+    pr_area = pr_h * pr_w
+
+    inter_h = jnp.maximum(0.0, jnp.minimum(gt[..., 2], pred[..., 2])
+                          - jnp.maximum(gt[..., 0], pred[..., 0]))
+    inter_w = jnp.maximum(0.0, jnp.minimum(gt[..., 3], pred[..., 3])
+                          - jnp.maximum(gt[..., 1], pred[..., 1]))
+    inter = inter_h * inter_w
+    union = gt_area + pr_area - inter
+    v = jnp.where(union == 0.0, 0.0, inter / jnp.where(union == 0.0, 1.0,
+                                                       union))
+
+    corner_dist = ((gt[..., 0] + gt_h - pred[..., 0] - pr_h) ** 2
+                   + (gt[..., 1] + gt_w - pred[..., 1] - pr_w) ** 2)
+    enc_h = jnp.maximum(0.0, jnp.maximum(gt[..., 2], pred[..., 2])
+                        - jnp.minimum(gt[..., 0], pred[..., 0]))
+    enc_w = jnp.maximum(0.0, jnp.maximum(gt[..., 3], pred[..., 3])
+                        - jnp.minimum(gt[..., 1], pred[..., 1]))
+    diag = enc_h ** 2 + enc_w ** 2
+    pen = jnp.where(diag == 0.0, 0.0,
+                    corner_dist / jnp.where(diag == 0.0, 1.0, diag))
+    return v - pen
+
+
 def inverse_diou_loss(pred_boxes, pred_valid, gt_boxes, gt_valid):
     """Reward predictions that move AWAY from ground-truth persons.
 
-    Parity with regression_loss.py:16-142 (InverseDIOULoss): for every
-    (pred, gt) pair, loss = 1 + diou (so minimizing pushes diou -> -1,
-    i.e. far boxes). The reference's nested dynamic loops become one
-    masked [B, P, G] broadcast.
+    Exact parity with regression_loss.py:16-142 (InverseDIOULoss): per
+    image, sum over ground-truth boxes of the MAX diou over predicted
+    boxes (each pred scored by `1 - diou_loss`, regression_loss.py:84),
+    plus keras epsilon per image; summed over the batch. Images with no
+    valid predictions contribute only the epsilon (regression_loss.py:58-59).
+    The reference's nested dynamic GPU loops become one masked [B, P, G]
+    broadcast + max.
 
     Args:
       pred_boxes: [B, P, 4]; pred_valid: [B, P] bool.
       gt_boxes: [B, G, 4]; gt_valid: [B, G] bool.
-    Returns scalar mean loss over valid pairs.
+    Returns the scalar batch loss.
     """
+    keras_eps = 1e-7
     p = pred_boxes[:, :, None, :]
     g = gt_boxes[:, None, :, :]
-    d = diou(jnp.broadcast_arrays(p, g)[0], jnp.broadcast_arrays(p, g)[1])
-    mask = pred_valid[:, :, None] & gt_valid[:, None, :]
-    loss = (1.0 + d) * mask
-    return jnp.sum(loss) / (jnp.sum(mask) + _EPS)
+    d = _ref_quirk_diou(jnp.broadcast_arrays(g, p)[0],
+                        jnp.broadcast_arrays(g, p)[1])     # [B, P, G]
+    d = jnp.where(pred_valid[:, :, None], d, -jnp.inf)
+    has_pred = jnp.any(pred_valid, axis=1)                  # [B]
+    per_gt = jnp.max(d, axis=1)                             # [B, G]
+    per_gt = jnp.where(gt_valid & has_pred[:, None], per_gt, 0.0)
+    per_image = jnp.sum(per_gt, axis=1) + keras_eps
+    return jnp.sum(per_image)

@@ -196,6 +196,44 @@ def test_unet_antipatch_h5_restore(ref_env, tmp_path):
     assert np.abs(y - y_ref).max() < 1e-4
 
 
+def test_unet_input_gradient_parity(ref_env):
+    """Input gradients through the converted U-Net agree with TF (the same
+    golden bar the detector earned in test_parity_tf.py). The defender
+    trains through this backward pass with the reference loss
+    mean((targets - 2*updates)^2) (attack_detection.py:190-193)."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from mladversarialobjectdetection_tpu.ckpt import convert_defense as cd
+    ref = _build_ref_unet(ref_env, seed=5)
+    m, v = _our_unet()
+    conv = cd.convert_unet_weights(cd.keras_unet_weights(ref), v)
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    targets = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    xt = tf.constant(x)
+    with tf.GradientTape() as tape:
+        tape.watch(xt)
+        y = ref(xt, training=False)
+        loss = tf.reduce_mean((tf.constant(targets) - 2.0 * y) ** 2)
+    ref_grad = tape.gradient(loss, xt).numpy()
+
+    def our_loss(xx):
+        y = m.apply(conv, xx, False)
+        return jnp.mean((jnp.asarray(targets) - 2.0 * y) ** 2)
+
+    our_grad = np.asarray(jax.jit(jax.grad(our_loss))(jnp.asarray(x)))
+    scale = np.abs(ref_grad).max()
+    assert scale > 0
+    rel = np.abs(ref_grad - our_grad).max() / scale
+    # measured 1.4e-6 in isolation; up to ~6e-4 when other TF modules ran
+    # first in the same process (oneDNN primitive/algorithm selection is
+    # process-state dependent on the TF side). A real conversion defect
+    # (wrong leaky slope / BN eps) moves this by >1e-2.
+    assert rel < 2e-3, f"input-grad relative diff {rel}"
+
+
 # ---------------------------------------------------------------------------
 # Masker parity
 # ---------------------------------------------------------------------------
