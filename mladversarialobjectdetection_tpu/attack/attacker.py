@@ -83,7 +83,8 @@ class PatchAttacker:
                  learning_rate: float = 1e-2, tolerance: float = 0.2,
                  bn_axis_name: str | None = None,
                  use_histogram_match: bool = False,
-                 window: int | None = None):
+                 window: int | None = None,
+                 eot_overrides: Dict[str, Any] | None = None):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
@@ -108,6 +109,10 @@ class PatchAttacker:
         # patches whose rotation region exceeds it are clamped — see
         # ops/eot.py geometry notes
         self.window = window
+        # extra kwargs merged into every eot.apply_patches call — the
+        # randomness-pinning hook the reference-parity tests use (same
+        # pattern as defense.masker.apply_masker's eot_kwargs)
+        self.eot_overrides = dict(eot_overrides or {})
         self._params_dict = config.as_dict()
 
     # -- state -------------------------------------------------------------
@@ -171,7 +176,8 @@ class PatchAttacker:
         patched, _ = eot.apply_patches(
             key, images, boxes, boxes_valid, patch, scale,
             tolerance=self.tolerance, window=self.window,
-            use_histogram_match=self.use_histogram_match)
+            use_histogram_match=self.use_histogram_match,
+            **self.eot_overrides)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
         scale_losses = (max_scores - scale) ** 2
@@ -281,7 +287,8 @@ class PatchAttacker:
             k_eot, images, boxes[:, :self.max_boxes],
             clean_valid[:, :self.max_boxes], state.patch, state.scale,
             tolerance=self.tolerance, window=self.window,
-            use_histogram_match=self.use_histogram_match)
+            use_histogram_match=self.use_histogram_match,
+            **self.eot_overrides)
         adv_boxes, adv_masked = self.second_pass_scores(patched)
         _, adv_scores, adv_valid = self._nms(adv_boxes, adv_masked)
 
