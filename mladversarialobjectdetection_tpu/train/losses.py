@@ -18,14 +18,20 @@ from ..ops import iou_loss as iou_lib
 def focal_loss(logits: jnp.ndarray, targets_one_hot: jnp.ndarray,
                alpha: float, gamma: float, normalizer,
                label_smoothing: float = 0.0) -> jnp.ndarray:
-    """Per-element focal loss / normalizer (train_lib.py:357-406)."""
+    """Per-element focal loss / normalizer (train_lib.py:357-406).
+
+    The focal multipliers (p_t, alpha_factor) are computed from the
+    UNSMOOTHED targets; label smoothing applies only inside the
+    cross-entropy — "compute focal loss multipliers before label
+    smoothing, such that it will not blow up the loss"
+    (train_lib.py:394-403)."""
     y = targets_one_hot
-    if label_smoothing:
-        y = y * (1 - label_smoothing) + 0.5 * label_smoothing
     pred_prob = jax.nn.sigmoid(logits)
     p_t = y * pred_prob + (1 - y) * (1 - pred_prob)
     alpha_factor = y * alpha + (1 - y) * (1 - alpha)
     modulating = (1.0 - p_t) ** gamma
+    if label_smoothing:
+        y = y * (1 - label_smoothing) + 0.5 * label_smoothing
     ce = (jnp.maximum(logits, 0) - logits * y
           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
     return alpha_factor * modulating * ce / normalizer
@@ -45,7 +51,10 @@ def detection_loss(cls_outputs: Sequence[jnp.ndarray],
                    *, num_classes: int, num_anchors: int,
                    alpha: float = 0.25, gamma: float = 1.5,
                    delta: float = 0.1, box_loss_weight: float = 50.0,
-                   label_smoothing: float = 0.0
+                   label_smoothing: float = 0.0,
+                   anchor_boxes: jnp.ndarray | None = None,
+                   iou_loss_type: str | None = None,
+                   iou_loss_weight: float = 1.0
                    ) -> Tuple[jnp.ndarray, dict]:
     """Total per-batch detection loss (EfficientDetNetTrain semantics,
     train_lib.py:530-729).
@@ -73,11 +82,33 @@ def detection_loss(cls_outputs: Sequence[jnp.ndarray],
 
     box_l = huber_loss(box_flat, labels.box_targets, delta)
     box_l = box_l * positives[..., None]
-    # automl scales huber by 4 "to match the tf1 version" and normalizes
-    box_loss = 4.0 * jnp.sum(box_l) / normalizer / 4.0  # net: sum/normalizer
+    # BoxLoss normalizer is num_positives_sum * 4 (train_lib.py:441-447:
+    # `normalizer = num_positives * 4.0`, then sum/normalizer — the mean
+    # over the 4 box coordinates)
+    box_loss = jnp.sum(box_l) / (normalizer * 4.0)
 
     total = cls_loss + box_loss_weight * box_loss
-    return total, {"cls_loss": cls_loss, "box_loss": box_loss}
+    parts = {"cls_loss": cls_loss, "box_loss": box_loss}
+
+    if iou_loss_type:
+        # BoxIouLoss (train_lib.py:450-464): decode predictions AND targets
+        # against the anchors, zero both elementwise where the target
+        # coordinate is 0 (the reference's mask convention), iou-family
+        # loss summed / (num_positives_sum * 4)
+        if anchor_boxes is None:
+            raise ValueError("iou_loss_type requires anchor_boxes")
+        from ..ops import anchors as anchors_lib
+        mask4 = (labels.box_targets != 0.0).astype(box_flat.dtype)
+        dec_pred = anchors_lib.decode_box_outputs(
+            box_flat, anchor_boxes[None]) * mask4
+        dec_tgt = anchors_lib.decode_box_outputs(
+            labels.box_targets, anchor_boxes[None]) * mask4
+        iou_l = iou_lib.iou_loss(dec_pred, dec_tgt, iou_loss_type)
+        box_iou_loss = jnp.sum(iou_l) / (normalizer * 4.0)
+        total = total + iou_loss_weight * box_iou_loss
+        parts["box_iou_loss"] = box_iou_loss
+
+    return total, parts
 
 
 def class_weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,

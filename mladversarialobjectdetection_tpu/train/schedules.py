@@ -23,7 +23,11 @@ def cosine_lr(peak_lr: float, warmup_init: float, warmup_steps: int,
               total_steps: int):
     def base(step):
         decay_steps = jnp.maximum(total_steps - warmup_steps, 1)
-        frac = jnp.clip((step - warmup_steps) / decay_steps, 0.0, 1.0)
+        # reference quirk kept for exact parity: the cosine phase uses the
+        # RAW step over (total - warmup) — not (step - warmup) — so the
+        # post-warmup value starts slightly below peak
+        # (train_lib.py:110-117)
+        frac = jnp.clip(step / decay_steps, 0.0, 1.0)
         return 0.5 * peak_lr * (1 + jnp.cos(jnp.pi * frac))
     return _with_warmup(base, warmup_init, peak_lr, warmup_steps)
 

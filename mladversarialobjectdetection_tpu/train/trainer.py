@@ -80,7 +80,11 @@ class DetectorTrainer:
                 alpha=self.config.alpha, gamma=self.config.gamma,
                 delta=self.config.delta,
                 box_loss_weight=self.config.box_loss_weight,
-                label_smoothing=self.config.label_smoothing)
+                label_smoothing=self.config.label_smoothing,
+                anchor_boxes=jnp.asarray(self.anchors.boxes),
+                iou_loss_type=self.config.get("iou_loss_type"),
+                iou_loss_weight=float(
+                    self.config.get("iou_loss_weight") or 1.0))
             reg = losses_lib.l2_regularization(params,
                                                self.config.weight_decay)
             return det_loss + reg, (parts, mutated["batch_stats"], reg)
