@@ -156,8 +156,10 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
     sel_classes = jnp.take_along_axis(top_classes, res.indices, axis=1)
     out_boxes = res.boxes - (sel_classes[..., None].astype(res.boxes.dtype)
                              * offset) * res.valid[..., None]
-    out_boxes = clip_boxes(out_boxes * res.valid[..., None],
-                           params["image_size"])
+    # NO clipping: the reference's per_class path never clips — only its
+    # global path does (postprocess.py:409-466 vs 375-406) — mirrored
+    # exactly; invalid rows are zeroed like the reference's zero padding
+    out_boxes = out_boxes * res.valid[..., None]
     out_classes = (sel_classes + CLASS_OFFSET) * res.valid
     if image_scales is not None:
         scales = jnp.asarray(image_scales).reshape(-1, 1, 1)

@@ -130,6 +130,116 @@ def test_inverse_diou_loss_golden(ref_env):
 
 
 # ---------------------------------------------------------------------------
+# numpy NMS family (the nms_configs.pyfunc path)
+# ---------------------------------------------------------------------------
+
+def _rand_dets(n, seed, size=100.0):
+    rng = np.random.default_rng(seed)
+    y0 = rng.uniform(0, size * 0.7, n)
+    x0 = rng.uniform(0, size * 0.7, n)
+    h = rng.uniform(5, size * 0.3, n)
+    w = rng.uniform(5, size * 0.3, n)
+    boxes = np.stack([y0, x0, y0 + h, x0 + w], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+def test_nms_np_golden(ref_env):
+    """hard / diou / gaussian / linear numpy NMS match the reference
+    nms_np.py exactly under its legacy +1 pixel-inclusive convention."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, os.path.join(REFERENCE, "automl/efficientdet"))
+    import nms_np as ref_nms
+    from mladversarialobjectdetection_tpu.ops import nms_np as our_nms
+
+    boxes, scores = _rand_dets(60, seed=27)
+    # reference format: [x1, y1, x2, y2, score]
+    dets = np.concatenate([boxes[:, [1, 0, 3, 2]], scores[:, None]],
+                          -1).astype(np.float64)
+
+    cases = [
+        ("hard", dict(iou_thresh=0.5),
+         lambda: ref_nms.hard_nms(dets.copy(), 0.5)),
+        ("diou", dict(iou_thresh=0.4),
+         lambda: ref_nms.diou_nms(dets.copy(), 0.4)),
+        ("gaussian", dict(sigma=0.5, score_thresh=0.1),
+         lambda: ref_nms.soft_nms(dets.copy(), {
+             "method": "gaussian", "sigma": 0.5, "iou_thresh": None,
+             "score_thresh": 0.1})),
+        ("linear", dict(iou_thresh=0.3, score_thresh=0.1),
+         lambda: ref_nms.soft_nms(dets.copy(), {
+             "method": "linear", "sigma": None, "iou_thresh": 0.3,
+             "score_thresh": 0.1})),
+    ]
+    for method, kw, ref_fn in cases:
+        ref_out = np.asarray(ref_fn())
+        idx, sc, bx = our_nms.nms_np(boxes, scores, method=method,
+                                     max_output_size=1000, plus_one=True,
+                                     **kw)
+        assert len(sc) == len(ref_out), (
+            f"{method}: {len(sc)} vs {len(ref_out)} picks")
+        assert np.abs(sc - ref_out[:, 4]).max() < 1e-6, method
+        # ref rows are [x1, y1, x2, y2, score]
+        assert np.abs(bx[:, [1, 0, 3, 2]] - ref_out[:, :4]).max() < 1e-5, (
+            method)
+
+
+# ---------------------------------------------------------------------------
+# Weighted Boxes Fusion
+# ---------------------------------------------------------------------------
+
+def test_wbf_golden(ref_env):
+    """weighted_boxes_fusion matches the reference ensemble_detections
+    (tf2/wbf.py): score-weighted cluster coordinates, mean-score *
+    vote-fraction rescale, score-sorted output. Clusters are
+    well-separated so the reference's argmax-cluster matching and our
+    first-above-threshold matching coincide."""
+    tf = ref_env
+    from tf2 import wbf as ref_wbf
+    from mladversarialobjectdetection_tpu.ops import wbf as our_wbf
+
+    rng = np.random.default_rng(28)
+    n_models, n_clusters = 3, 5
+    centers = np.stack([np.arange(n_clusters) * 60.0 + 20,
+                        np.arange(n_clusters) * 60.0 + 20], -1)
+    boxes_list, scores_list, classes_list = [], [], []
+    rows = []
+    for m in range(n_models):
+        bs, ss, cs = [], [], []
+        for k in range(n_clusters):
+            if m == 2 and k == 0:
+                continue  # one cluster missing a model's vote
+            cy, cx = centers[k] + rng.uniform(-2, 2, 2)
+            h, w = 30 + rng.uniform(-3, 3), 26 + rng.uniform(-3, 3)
+            box = [cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2]
+            score = float(rng.uniform(0.3, 0.95))
+            cls = k % 2
+            bs.append(box)
+            ss.append(score)
+            cs.append(cls)
+            # reference row: [image_id, x1, y1, x2, y2, score, class]
+            rows.append([0.0, box[1], box[0], box[3], box[2], score,
+                         float(cls)])
+        boxes_list.append(np.asarray(bs, np.float32))
+        scores_list.append(np.asarray(ss, np.float32))
+        classes_list.append(np.asarray(cs))
+
+    params = {"num_classes": 2}
+    ref_out = np.asarray(ref_wbf.ensemble_detections(
+        params, tf.constant(np.asarray(rows, np.float32)), n_models))
+
+    fb, fs, fc = our_wbf.weighted_boxes_fusion(boxes_list, scores_list,
+                                               classes_list,
+                                               iou_thresh=0.55)
+    assert len(fs) == ref_out.shape[0] == n_clusters
+    order_ref = ref_out[np.argsort(-ref_out[:, 5])]
+    assert np.abs(fs - order_ref[:, 5]).max() < 1e-6
+    assert (fc == order_ref[:, 6]).all()
+    assert np.abs(fb[:, [1, 0, 3, 2]] - order_ref[:, 1:5]).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
 # CPU inference mirror
 # ---------------------------------------------------------------------------
 

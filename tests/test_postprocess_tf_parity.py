@@ -89,6 +89,36 @@ def test_combined_parity(tf_env, small_cfg):
         assert (np.asarray(ours.classes)[i][:k] == rc[i][:k]).all()
 
 
+def test_per_class_parity(tf_env, small_cfg):
+    """postprocess_per_class == the reference per-class NMS (dynamic
+    per-class loop + concat + top_k, postprocess.py:409-491) through our
+    class-banded single-pass formulation — including the reference's
+    no-clipping convention (per_class never clips; only global does)."""
+    import jax
+    from tf2 import postprocess as ref_post
+    from mladversarialobjectdetection_tpu.ops import postprocess as our_post
+
+    tf = tf_env
+    params = small_cfg.as_dict()
+    cls_outs, box_outs = _rand_outputs(small_cfg, seed=3)
+
+    rb, rs, rc, rv = ref_post.postprocess_per_class(
+        params, [tf.constant(x) for x in cls_outs],
+        [tf.constant(x) for x in box_outs])
+    ours = jax.jit(lambda c, b: our_post.postprocess_per_class(params, c, b))(
+        cls_outs, box_outs)
+
+    rb, rs, rc, rv = (np.asarray(rb), np.asarray(rs), np.asarray(rc),
+                      np.asarray(rv))
+    assert (np.asarray(ours.valid_len) == rv).all()
+    for i in range(rb.shape[0]):
+        k = int(rv[i])
+        assert k > 0
+        assert np.abs(np.asarray(ours.scores)[i][:k] - rs[i][:k]).max() < 1e-5
+        assert np.abs(np.asarray(ours.boxes)[i][:k] - rb[i][:k]).max() < 1e-3
+        assert (np.asarray(ours.classes)[i][:k] == rc[i][:k]).all()
+
+
 def test_combined_emits_multiclass_per_box(small_cfg):
     """A single dominant anchor with two strong classes must yield TWO
     detections on the same box — the semantics max_reduce loses."""
