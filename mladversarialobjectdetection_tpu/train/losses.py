@@ -114,15 +114,34 @@ def detection_loss(cls_outputs: Sequence[jnp.ndarray],
 def class_weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,
                        pos_weight: float = 1.0,
                        neg_weight: float = 1.0) -> jnp.ndarray:
-    """Class-weighted binary cross-entropy.
-
-    Parity with reference util.py:192-213 (kept unused there "for reuse"):
-    per-element BCE where positives/negatives carry separate weights.
+    """Generic class-weighted binary cross-entropy (logit space): per-
+    element BCE where positives/negatives carry explicit weights. For the
+    reference's exact batch-self-weighted variant see
+    `self_weighted_binary_ce`.
     """
     ce = (jnp.maximum(logits, 0) - logits * labels
           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
     weights = labels * pos_weight + (1.0 - labels) * neg_weight
     return weights * ce
+
+
+def self_weighted_binary_ce(y_true: jnp.ndarray,
+                            y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Exact parity with reference util.py:192-213 `self_weightd_binary_ce`
+    (kept unused there "for reuse"): probability-space BCE where the
+    positive weight is 1 - mean(positive fraction) computed FROM the batch
+    itself; per-example mean over axis 1, summed over the batch.
+
+    Args: y_true [B, N] in {0, 1}; y_pred [B, N] probabilities.
+    """
+    eps = 1e-7  # keras epsilon
+    false_targets = jnp.where(y_true != 0.0, 1.0, 0.0)
+    alpha_factor = 1.0 - jnp.mean(false_targets)
+    y_pred = jnp.clip(y_pred, eps, 1.0 - eps)
+    p_t = jnp.where(y_true == 1.0, y_pred, 1.0 - y_pred)
+    alpha_t = jnp.where(y_true == 1.0, alpha_factor, 1.0 - alpha_factor)
+    loss = alpha_t * (-jnp.log(p_t))
+    return jnp.sum(jnp.mean(loss, axis=1))
 
 
 def l2_regularization(params, weight_decay: float) -> jnp.ndarray:

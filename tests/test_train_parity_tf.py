@@ -195,6 +195,23 @@ def test_lr_schedules_golden(ref_train_lib, ref_env):
         assert np.abs(ref_vals - our_vals).max() < 1e-6, type(ref_s).__name__
 
 
+def test_self_weighted_bce_golden(ref_env):
+    """util.py:192-213 self_weightd_binary_ce: batch-self-weighted
+    probability-space BCE, per-example mean summed over the batch."""
+    import jax.numpy as jnp
+    import util as ref_util  # reference top-level module
+    from mladversarialobjectdetection_tpu.train import losses
+    tf = ref_env
+    rng = np.random.default_rng(55)
+    y_true = (rng.uniform(0, 1, (3, 40)) < 0.2).astype(np.float32)
+    y_pred = rng.uniform(0.001, 0.999, (3, 40)).astype(np.float32)
+    ref_val = float(ref_util.self_weightd_binary_ce(tf.constant(y_true),
+                                                    tf.constant(y_pred)))
+    ours = float(losses.self_weighted_binary_ce(jnp.asarray(y_true),
+                                                jnp.asarray(y_pred)))
+    assert abs(ours - ref_val) < 1e-5 * max(1.0, abs(ref_val))
+
+
 def test_detection_loss_assembly_golden(ref_train_lib, ref_env):
     """The assembled detection loss (per-level focal masked by !=-2 +
     weighted box + optional iou, normalizer = sum(num_positives) + 1)
