@@ -145,3 +145,104 @@ def test_make_mesh_for_batch_multihost_is_hybrid(monkeypatch):
     assert m.devices.shape == (2, 4)
     with pytest.raises(ValueError, match="divisible"):
         make_mesh_for_batch(12)
+
+
+@pytest.mark.slow
+def test_defender_step_on_mesh(tiny_detector, rand_images):
+    """SPMD defender step == single-device step (the defense trainer's
+    mesh path, defense/train.py; mirrors test_attack_step_on_mesh).
+
+    Two determinism hazards are pinned down, not papered over:
+    (1) the optimizer is swapped to SGD for the comparison — adam's
+    bias-corrected first step is lr*g/(sqrt(g^2)+eps) ~= lr*sign(g), so
+    a 1e-6 reduction-noise sign flip on a near-zero gradient component
+    flips the update by 2*lr (observed: 0.019 divergence that is NOT a
+    collective bug; masker crops and dropout masks were verified
+    bit-identical under sharding); (2) the live detector pass is
+    stubbed with fixed person boxes — a random-init victim's NMS ranks
+    near-tied ~0.5 scores, so conv-numerics noise can discretely flip
+    the selection and move the masker crops. Detector SPMD parity has
+    its own coverage (test_sharded_serving_matches_single_device); this
+    test isolates what is unique to the defender step — masker + UNet +
+    BN stats + optimizer under batch sharding."""
+    import optax
+    from mladversarialobjectdetection_tpu.defense.defender import (
+        PatchAttackDefender)
+    cfg, spec, net, variables = tiny_detector
+    hw = cfg.image_size
+    rng = np.random.default_rng(7)
+    yx0 = rng.uniform(2, hw * 0.45, (8, 4, 2))
+    fixed_boxes = jnp.asarray(
+        np.concatenate([yx0, yx0 + rng.uniform(10, hw * 0.5, (8, 4, 2))], -1),
+        jnp.float32)  # yxyx, non-degenerate
+    fixed_scores = jnp.full((8, 4), 0.9, jnp.float32)
+    fixed_valid = jnp.ones((8, 4), bool)
+
+    def fixed_odet(images, score_thresh=None):
+        return fixed_boxes, fixed_scores, fixed_valid
+
+    defender = PatchAttackDefender(cfg, variables)
+    defender.odet_boxes = fixed_odet
+    defender.tx = optax.sgd(0.01)
+    state = defender.init_state(jax.random.PRNGKey(0))
+    images = jnp.concatenate([rand_images] * 4, axis=0)  # batch 8
+
+    st_ref, m_ref = jax.jit(defender.train_step)(state, images)
+
+    mesh = make_mesh()
+    sharded = PatchAttackDefender(cfg, replicate(mesh, variables))
+    sharded.odet_boxes = fixed_odet
+    sharded.tx = optax.sgd(0.01)
+    st = replicate(mesh, state)
+    st_out, m_out = jax.jit(sharded.train_step)(st, shard_batch(mesh, images))
+
+    # with SGD the update is lr*grad: only float reduction-order noise
+    # remains between the sharded psum and the single-device sum
+    ref_leaves = jax.tree.leaves(st_ref.params)
+    out_leaves = jax.tree.leaves(st_out.params)
+    for a, b in zip(out_leaves, ref_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert float(m_out.loss) == pytest.approx(float(m_ref.loss), rel=1e-4)
+    assert jax.tree.leaves(st_out.params)[0].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_supervised_step_on_mesh(tiny_detector):
+    """SPMD supervised detector step == single-device step (train/train.py
+    mesh strategy), including the anchor labeler + detection loss."""
+    from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
+    cfg, spec, net, variables = tiny_detector
+    trainer = DetectorTrainer(cfg, steps_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    b = 8
+    hw = cfg.image_size
+    images = jnp.asarray(rng.uniform(-1, 1, (b, hw, hw, 3)), jnp.float32)
+    y0 = rng.uniform(0, hw * 0.5, (b, 3))
+    x0 = rng.uniform(0, hw * 0.5, (b, 3))
+    h = rng.uniform(8, hw * 0.4, (b, 3))
+    w = rng.uniform(8, hw * 0.4, (b, 3))
+    gt_boxes = jnp.asarray(np.stack([y0, x0, y0 + h, x0 + w], -1),
+                           jnp.float32)
+    gt_classes = jnp.asarray(rng.integers(0, cfg.num_classes, (b, 3)),
+                             jnp.int32)
+    gt_valid = jnp.asarray(rng.uniform(0, 1, (b, 3)) < 0.8)
+
+    st_ref, m_ref = jax.jit(trainer.train_step)(state, images, gt_boxes,
+                                                gt_classes, gt_valid)
+
+    mesh = make_mesh()
+    st = replicate(mesh, state)
+    st_out, m_out = jax.jit(trainer.train_step)(
+        st, shard_batch(mesh, images), shard_batch(mesh, gt_boxes),
+        shard_batch(mesh, gt_classes), shard_batch(mesh, gt_valid))
+
+    # sgd+momentum updates are proportional to the gradient, so only the
+    # psum-vs-single-device float reduction-order wobble remains (the
+    # clip-by-global-norm factor is continuous in it too)
+    for a, b_ in zip(jax.tree.leaves(st_out.params),
+                     jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+    assert float(m_out["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                 rel=1e-4)

@@ -179,6 +179,35 @@ def test_forward_parity_lite4_640(tf_env):
         assert diff < 1e-3, f"level {lvl}: max diff {diff}"
 
 
+@pytest.mark.parametrize("model_name", [
+    "efficientdet-lite1", "efficientdet-lite2", "efficientdet-lite3",
+    "efficientdet-lite3x", "efficientdet-d1", "efficientdet-d2",
+    "efficientdet-d3",
+])
+def test_forward_parity_zoo(tf_env, model_name):
+    """Zoo-breadth goldens: every width/depth multiplier pair the other
+    forward goldens (lite0/d0/lite4) don't hit — each variant exercises a
+    different round_filters/round_repeats outcome, survival-prob ramp,
+    fpn width, and (lite3x) the 200-filter anchor-scale-3 oddball
+    (hparams_config.py:430-456). 64px, 2 repeats: the backbone, which is
+    what varies, is built at its real width/depth."""
+    import jax
+    ref_model, net, converted = _build_pair(tf_env, model_name)
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref_cls, ref_box = ref_model(x, training=False)
+    our_cls, our_box = jax.jit(lambda v, xx: net.apply(v, xx, False))(
+        converted, x)
+    n_ref = sum(int(np.prod(w.shape)) for w in ref_model.weights)
+    n_ours = sum(int(np.prod(np.asarray(p).shape))
+                 for p in jax.tree.leaves(converted))
+    assert n_ref == n_ours
+    for lvl, (r, o) in enumerate(list(zip(ref_cls, our_cls))
+                                 + list(zip(ref_box, our_box))):
+        diff = np.abs(np.asarray(r) - np.asarray(o)).max()
+        assert diff < 5e-4, f"{model_name} level {lvl}: max diff {diff}"
+
+
 def test_anchor_parity(tf_env):
     """Anchor boxes identical to the reference Anchors class."""
     sys.path.insert(0, REFERENCE)
