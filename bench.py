@@ -144,15 +144,18 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
     # steady-state driver step: the ASR metrics-NMS runs only on logged
     # steps (1/50 in attack/train.py), so the representative per-step cost
     # excludes it
-    if override is None:
-        train_step = jax.jit(
-            functools.partial(attacker.train_step, with_asr=False),
-            donate_argnums=0)
-    else:
-        train_step = jax.jit(
-            functools.partial(attacker.train_step, with_asr=False,
-                              boxes_override=override),
-            donate_argnums=0)
+    # det_variables and boxes_override are passed at each CALL, not bound
+    # via closure/partial: partial-bound arrays become trace-time constants
+    # embedded in the program (60 MB of victim weights -> oversized compile
+    # payloads over the tunnel; see attack/attacker.py note)
+    step_fn = jax.jit(
+        functools.partial(attacker.train_step, with_asr=False),
+        donate_argnums=0)
+
+    def train_step(s, imgs):
+        return step_fn(s, imgs, boxes_override=override,
+                       det_variables=variables)
+
     state, metrics = train_step(state, images)
     fence(state)
     log("train_step compiled")

@@ -186,7 +186,8 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     # -- detection gate ----------------------------------------------------
     attacker = PatchAttacker(cfg, det_vars, window=320)
     imgs, _, _, gt_valid = pool.sample(rng, batch)
-    _, scores, valid = jax.jit(attacker.first_pass)(jnp.asarray(imgs))
+    _, scores, valid = jax.jit(attacker.first_pass)(jnp.asarray(imgs),
+                                                    det_vars)
     valid = np.asarray(valid)
     n_det = int(valid.sum())
     mean_score = float((np.asarray(scores) * valid).sum() / max(1, n_det))
@@ -221,7 +222,8 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
         imgs, _, _, _ = pool.sample(rng, batch)
         logged = (i + 1) % log_every == 0 or i == 0
         step = atk_logged if logged else atk_fast
-        astate, m = step(astate, jnp.asarray(imgs))
+        astate, m = step(astate, jnp.asarray(imgs),
+                         det_variables=det_vars)
         if logged:
             row = {"step": i + 1,
                    "mean_max_score": float(m.mean_max_score),
@@ -255,10 +257,11 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     t0 = time.time()
     for i in range(defend_steps):
         imgs, _, _, _ = pool.sample(rng, batch)
-        dstate, dm = d_step(dstate, jnp.asarray(imgs))
+        dstate, dm = d_step(dstate, jnp.asarray(imgs),
+                            det_variables=det_vars)
         if (i + 1) % log_every == 0:
             evs = [d_eval(dstate, jnp.asarray(pool.sample(rng, batch)[0]),
-                          vi)
+                          vi, det_variables=det_vars)
                    for vi in range(2)]
             row = {"step": i + 1,
                    "train_loss": float(dm.loss),

@@ -131,8 +131,15 @@ class PatchAttacker:
                            jnp.asarray(0, jnp.int32), ks)
 
     # -- model passes --------------------------------------------------------
-    def _forward(self, images: jnp.ndarray):
-        cls_out, box_out = self.net.apply(self.det_variables, images, False)
+    # `det_variables` threads the frozen victim weights through as a traced
+    # argument. When None they are closure-captured from self — which this
+    # JAX version lowers as embedded HLO *constants*: ~60 MB of weights
+    # serialized into every compiled program (slow compiles, duplicated HBM,
+    # and oversized remote-compile payloads). Drivers pass them explicitly;
+    # the None fallback keeps ad-hoc/test call sites simple.
+    def _forward(self, images: jnp.ndarray, det_variables=None):
+        dv = self.det_variables if det_variables is None else det_variables
+        cls_out, box_out = self.net.apply(dv, images, False)
         return postprocess.pre_nms(self._params_dict, cls_out, box_out)
 
     def _nms(self, boxes: jnp.ndarray, masked_scores: jnp.ndarray):
@@ -145,18 +152,18 @@ class PatchAttacker:
         clipped = postprocess.clip_boxes(res.boxes, self.image_hw)
         return clipped, res.scores, res.valid
 
-    def first_pass(self, images: jnp.ndarray):
+    def first_pass(self, images: jnp.ndarray, det_variables=None):
         """Clean pass -> NMS'd person boxes, padded (attacker.py:91-116)."""
-        boxes, scores, classes = self._forward(images)
+        boxes, scores, classes = self._forward(images, det_variables)
         cond = filter_valid_boxes(scores, boxes, classes, self.image_hw,
                                   self.score_thresh)
         masked = jnp.where(cond, scores, NEG_INF)
         return self._nms(boxes, masked)
 
-    def second_pass_scores(self, images: jnp.ndarray):
+    def second_pass_scores(self, images: jnp.ndarray, det_variables=None):
         """Patched pass -> masked person anchor scores [B, A]
         (attacker.py:118-141; thresh filter off)."""
-        boxes, scores, classes = self._forward(images)
+        boxes, scores, classes = self._forward(images, det_variables)
         cond = filter_valid_boxes(scores, boxes, classes, self.image_hw,
                                   score_thresh=None)
         masked = jnp.where(cond, scores, NEG_INF)
@@ -172,13 +179,14 @@ class PatchAttacker:
             n_clean.astype(jnp.float32) + 1e-7)
 
     # -- loss ------------------------------------------------------------
-    def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key):
+    def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key,
+                          det_variables=None):
         patched, _ = eot.apply_patches(
             key, images, boxes, boxes_valid, patch, scale,
             tolerance=self.tolerance, window=self.window,
             use_histogram_match=self.use_histogram_match,
             **self.eot_overrides)
-        adv_boxes, adv_masked = self.second_pass_scores(patched)
+        adv_boxes, adv_masked = self.second_pass_scores(patched, det_variables)
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
         scale_losses = (max_scores - scale) ** 2
         tv = eot.total_variation(patch)
@@ -190,7 +198,8 @@ class PatchAttacker:
     # -- steps -------------------------------------------------------------
     def train_step(self, state: AttackState, images: jnp.ndarray,
                    with_asr: bool = True,
-                   boxes_override: Tuple[jnp.ndarray, jnp.ndarray] | None = None
+                   boxes_override: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+                   det_variables=None
                    ) -> Tuple[AttackState, StepMetrics]:
         """One SPMD attack step. jit/pjit me (with_asr static).
 
@@ -210,7 +219,8 @@ class PatchAttacker:
         so the step cost stays that of the full two-pass program."""
         key, k_eot, k_next = jax.random.split(state.key, 3)
         del key
-        boxes, clean_scores, clean_valid = self.first_pass(images)
+        boxes, clean_scores, clean_valid = self.first_pass(images,
+                                                           det_variables)
         if boxes_override is not None:
             ob, ov = boxes_override
             # exactly-zero (min(|x| summed, 0)) yet data-dependent on the
@@ -227,7 +237,7 @@ class PatchAttacker:
         def loss_fn(trainables):
             scale, patch = trainables
             return self._loss_from_images(patch, scale, images, boxes,
-                                          boxes_valid, k_eot)
+                                          boxes_valid, k_eot, det_variables)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (state.scale, state.patch))
@@ -245,16 +255,19 @@ class PatchAttacker:
         return new_state, metrics
 
     def eval_step(self, state: AttackState, images: jnp.ndarray,
-                  batch_idx: jnp.ndarray | int = 0) -> StepMetrics:
+                  batch_idx: jnp.ndarray | int = 0,
+                  det_variables=None) -> StepMetrics:
         """One validation batch. `batch_idx` decorrelates EOT randomness
         across the val batches of an epoch (the state key is not advanced
         during eval)."""
         k_eot = jax.random.fold_in(state.key, batch_idx)
-        boxes, clean_scores, clean_valid = self.first_pass(images)
+        boxes, clean_scores, clean_valid = self.first_pass(images,
+                                                           det_variables)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = clean_valid[:, :self.max_boxes]
         loss, aux = self._loss_from_images(state.patch, state.scale, images,
-                                           boxes, boxes_valid, k_eot)
+                                           boxes, boxes_valid, k_eot,
+                                           det_variables)
         return self._metrics(loss, state.scale, aux, clean_scores, clean_valid)
 
     def _metrics(self, loss, scale, aux, clean_scores, clean_valid,
@@ -278,18 +291,20 @@ class PatchAttacker:
         )
 
     def asr_curve(self, state: AttackState, images: jnp.ndarray,
-                  thresholds, batch_idx: jnp.ndarray | int = 0) -> jnp.ndarray:
+                  thresholds, batch_idx: jnp.ndarray | int = 0,
+                  det_variables=None) -> jnp.ndarray:
         """ASR at a vector of score thresholds (attacker.py:66-67,277-283);
         run rarely, host-side plotting consumes the result."""
         k_eot = jax.random.fold_in(state.key, batch_idx)
-        boxes, clean_scores, clean_valid = self.first_pass(images)
+        boxes, clean_scores, clean_valid = self.first_pass(images,
+                                                           det_variables)
         patched, _ = eot.apply_patches(
             k_eot, images, boxes[:, :self.max_boxes],
             clean_valid[:, :self.max_boxes], state.patch, state.scale,
             tolerance=self.tolerance, window=self.window,
             use_histogram_match=self.use_histogram_match,
             **self.eot_overrides)
-        adv_boxes, adv_masked = self.second_pass_scores(patched)
+        adv_boxes, adv_masked = self.second_pass_scores(patched, det_variables)
         _, adv_scores, adv_valid = self._nms(adv_boxes, adv_masked)
 
         def one(t):

@@ -109,6 +109,9 @@ def train(model_name: str = "efficientdet-lite4", *,
     det_vars = replicate(mesh, det_vars)
     attacker.det_variables = det_vars
 
+    # det_variables passed as a runtime argument (not closure-captured):
+    # keeps the ~60 MB of frozen victim weights out of the compiled
+    # programs' embedded constants (see attack/attacker.py note)
     train_step = jax.jit(attacker.train_step, donate_argnums=0,
                          static_argnames=("with_asr",))
     eval_step = jax.jit(attacker.eval_step)
@@ -155,7 +158,8 @@ def train(model_name: str = "efficientdet-lite4", *,
             # ASR needs an extra metrics-only NMS pass; run it only on
             # steps whose metrics are actually logged
             logged = (step + 1) % 50 == 0
-            state, metrics = train_step(state, batch, with_asr=logged)
+            state, metrics = train_step(state, batch, with_asr=logged,
+                                        det_variables=det_vars)
             thr.count(batch_size)
             step += 1
             if logged:
@@ -165,7 +169,8 @@ def train(model_name: str = "efficientdet-lite4", *,
         # validation
         val_metrics = []
         for vi in range(val_steps):
-            val_metrics.append(eval_step(state, next(val_iter), vi))
+            val_metrics.append(eval_step(state, next(val_iter), vi,
+                                         det_variables=det_vars))
         val = {k: float(np.mean([float(getattr(m, k)) for m in val_metrics]))
                for k in val_metrics[0]._fields}
         mlog.log(step, val, prefix="val/")
@@ -184,7 +189,8 @@ def train(model_name: str = "efficientdet-lite4", *,
                 thresholds = np.arange(
                     float(config.nms_configs.score_thresh or 0.5), 0.805,
                     0.01, dtype=np.float32)
-                curve = asr_curve(state, next(val_iter), thresholds)
+                curve = asr_curve(state, next(val_iter), thresholds,
+                                  det_variables=det_vars)
                 img = visualize.plot_asr_curve(thresholds, np.asarray(curve))
                 from PIL import Image
                 Image.fromarray(img).save(

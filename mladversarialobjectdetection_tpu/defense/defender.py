@@ -90,9 +90,15 @@ class PatchAttackDefender:
                              jnp.asarray(0, jnp.int32), k_state)
 
     # -- detector pass (attack_detection.py:94-127) -----------------------
-    def odet_boxes(self, images: jnp.ndarray, score_thresh=None):
+    # `det_variables` threads the frozen protege weights as a traced
+    # argument; when None they are closure-captured and embed as HLO
+    # constants in the compiled program (see attack/attacker.py note).
+    # Drivers pass them explicitly.
+    def odet_boxes(self, images: jnp.ndarray, score_thresh=None,
+                   det_variables=None):
         """Person boxes after NMS; returns ([B,M,4], scores [B,M], valid)."""
-        cls_out, box_out = self.net.apply(self.det_variables, images, False)
+        dv = self.det_variables if det_variables is None else det_variables
+        cls_out, box_out = self.net.apply(dv, images, False)
         boxes, scores, classes = postprocess.pre_nms(self._params_dict,
                                                      cls_out, box_out)
         person = classes == 0
@@ -125,7 +131,7 @@ class PatchAttackDefender:
         return self.unet.apply(variables, images, False), batch_stats
 
     def train_step(self, state: DefenderState, images: jnp.ndarray,
-                   with_adv_scores: bool = False
+                   with_adv_scores: bool = False, det_variables=None
                    ) -> Tuple[DefenderState, DefenderMetrics]:
         """One train step. `with_adv_scores` (static) additionally runs the
         detector over the masker-patched images at score_thresh 0 so the
@@ -133,7 +139,8 @@ class PatchAttackDefender:
         (attack_detection.py:208-237 logs these every visualize freq);
         off by default — it costs a full extra detector pass."""
         k_mask, k_drop, k_next = jax.random.split(state.key, 3)
-        boxes, clean_scores, clean_valid = self.odet_boxes(images)
+        boxes, clean_scores, clean_valid = self.odet_boxes(
+            images, det_variables=det_variables)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = clean_valid[:, :self.max_boxes]
 
@@ -156,8 +163,8 @@ class PatchAttackDefender:
 
         mean_clean = _masked_mean(clean_scores, clean_valid)
         if with_adv_scores:
-            _, adv_scores, adv_valid = self.odet_boxes(patched,
-                                                       score_thresh=0.0)
+            _, adv_scores, adv_valid = self.odet_boxes(
+                patched, score_thresh=0.0, det_variables=det_variables)
             mean_adv = _masked_mean(adv_scores, adv_valid)
         else:
             mean_adv = jnp.asarray(0.0)
@@ -167,13 +174,15 @@ class PatchAttackDefender:
                              k_next), metrics
 
     def eval_step(self, state: DefenderState, images: jnp.ndarray,
-                  batch_idx: jnp.ndarray | int = 0) -> DefenderMetrics:
+                  batch_idx: jnp.ndarray | int = 0,
+                  det_variables=None) -> DefenderMetrics:
         """Eval: plant the real adversarial patch, measure recovery loss
         (attack_detection.py:168-206, training=False branch). `batch_idx`
         decorrelates masker randomness across an epoch's val batches."""
         assert self.eval_patch is not None
         k_mask = jax.random.fold_in(state.key, batch_idx)
-        boxes, clean_scores, valid = self.odet_boxes(images)
+        boxes, clean_scores, valid = self.odet_boxes(
+            images, det_variables=det_variables)
         boxes = boxes[:, :self.max_boxes]
         boxes_valid = valid[:, :self.max_boxes]
         patched, targets, region = masker_lib.apply_masker(
@@ -181,7 +190,8 @@ class PatchAttackDefender:
             adv_patch=self.eval_patch, adv_scale=self.eval_scale,
             return_region=True)
         # second detector pass at score_thresh 0 (attack_detection.py:186-187)
-        _, adv_scores, adv_valid = self.odet_boxes(patched, score_thresh=0.0)
+        _, adv_scores, adv_valid = self.odet_boxes(
+            patched, score_thresh=0.0, det_variables=det_variables)
 
         updates, _ = self._unet_apply(state.params, state.batch_stats,
                                       patched, False)
@@ -193,8 +203,8 @@ class PatchAttackDefender:
         # -- north-star metrics over the recovered images -----------------
         # recover() = clip(patched + 2*updates) (demo_v2.py:151-169)
         recovered = jnp.clip(patched + 2.0 * updates, -1.0, 1.0)
-        _, rec_scores, rec_valid = self.odet_boxes(recovered,
-                                                   score_thresh=0.0)
+        _, rec_scores, rec_valid = self.odet_boxes(
+            recovered, score_thresh=0.0, det_variables=det_variables)
 
         # PSNR of the recovered background inside the patched region vs
         # the clean image. Images live in [-1,1] (range 2.0), so

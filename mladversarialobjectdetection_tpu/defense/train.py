@@ -71,8 +71,12 @@ def train(model_name: str = "efficientdet-lite4", *,
         state = state._replace(params=restored["params"],
                                batch_stats=restored["batch_stats"])
     state = replicate(mesh, state)
-    defender.det_variables = replicate(mesh, det_vars)
+    det_vars = replicate(mesh, det_vars)
+    defender.det_variables = det_vars
 
+    # det_variables passed as a runtime argument (not closure-captured):
+    # keeps the frozen protege weights out of the compiled programs'
+    # embedded constants (see attack/attacker.py note)
     train_step = jax.jit(defender.train_step, donate_argnums=0,
                          static_argnames=("with_adv_scores",))
     eval_step = jax.jit(defender.eval_step)
@@ -115,14 +119,15 @@ def train(model_name: str = "efficientdet-lite4", *,
             # matching the reference's visualize-freq score logging
             logged = (step + 1) % 50 == 0
             state, metrics = train_step(state, batch,
-                                        with_adv_scores=logged)
+                                        with_adv_scores=logged,
+                                        det_variables=det_vars)
             thr.count(batch_size)
             step += 1
             if logged:
                 mlog.log(step, metrics._asdict(), prefix="train/")
         ips = thr.rate()
 
-        vals = [eval_step(state, next(val_iter), vi)
+        vals = [eval_step(state, next(val_iter), vi, det_variables=det_vars)
                 for vi in range(val_steps)]
         val_loss = float(np.mean([float(v.loss) for v in vals]))
         # north-star defense metrics (BASELINE.json): recovery PSNR over

@@ -77,8 +77,16 @@ class Detector:
             from ..parallel import replicate
             self.variables = replicate(mesh, self.variables)
         self._params_dict = self.config.as_dict()
-        self._forward = lambda images: self.net.apply(self.variables,
-                                                      images, False)
+        # The serve programs take the network state as a runtime ARGUMENT
+        # (self._forward_state) rather than closing over self.variables:
+        # closure-captured arrays lower as HLO constants, embedding the
+        # full weights into every compiled program (oversized compile
+        # payloads for the big variants, duplicated HBM across programs,
+        # slow compiles). _forward_state is the variables pytree, or the
+        # Int8Serve state after quantize_int8.
+        self._forward_state = self.variables
+        self._forward = lambda state, images: self.net.apply(state, images,
+                                                             False)
         self._serve = jax.jit(self._serve_impl)
         self._serve_raw = jax.jit(self._serve_raw_impl)
 
@@ -130,15 +138,18 @@ class Detector:
                                     self.config.stddev_rgb)[0]
                     for f in frames[i:i + 8]]
             batches.append(np.stack(imgs))
-        self._forward = Int8Serve(
+        int8 = Int8Serve(
             self.net, self.variables, batches,
             skip_patterns=skip_patterns or DEFAULT_SKIP)
+        self._forward = int8
+        self._forward_state = int8.state
+        # fresh jit wrappers: the old traces baked in the float _forward
         self._serve = jax.jit(self._serve_impl)
         self._serve_raw = jax.jit(self._serve_raw_impl)
 
-    def _serve_impl(self, images: jnp.ndarray, scales: jnp.ndarray
+    def _serve_impl(self, state, images: jnp.ndarray, scales: jnp.ndarray
                     ) -> postprocess.Detections:
-        return self._post_detections(self._forward(images), scales)
+        return self._post_detections(self._forward(state, images), scales)
 
     def _serve_float_impl(self, images: jnp.ndarray, scales: jnp.ndarray
                           ) -> postprocess.Detections:
@@ -245,14 +256,15 @@ class Detector:
         else:
             raise ValueError(f"unknown export format {fmt}")
 
-    def _serve_raw_impl(self, raw: jnp.ndarray) -> postprocess.Detections:
+    def _serve_raw_impl(self, state, raw: jnp.ndarray
+                        ) -> postprocess.Detections:
         """[B, H, W, 3] uint8 raw frames -> Detections, all on device."""
         from ..ops.preprocess import preprocess_jax
         images, scales = jax.vmap(
             lambda im: preprocess_jax(im, self.config.image_size,
                                       self.config.mean_rgb,
                                       self.config.stddev_rgb))(raw)
-        return self._serve_impl(images, scales)
+        return self._serve_impl(state, images, scales)
 
     def serve(self, raw_frames, *,
               device_preprocess: bool = False) -> postprocess.Detections:
@@ -271,14 +283,14 @@ class Detector:
                 raise ValueError("device_preprocess expects uint8 frames")
             raw, _, b = self._put_batch(raw, None)
             return jax.tree.map(lambda a: np.asarray(a)[:b],
-                                self._serve_raw(raw))
+                                self._serve_raw(self._forward_state, raw))
         imgs, scales = zip(*[
             preprocess_host(f, self.config.image_size, self.config.mean_rgb,
                             self.config.stddev_rgb) for f in raw_frames])
         images, scales, b = self._put_batch(
             np.stack(imgs), np.asarray(scales, np.float32))
         return jax.tree.map(lambda a: np.asarray(a)[:b],
-                            self._serve(images, scales))
+                            self._serve(self._forward_state, images, scales))
 
     def infer(self, frame: np.ndarray, max_boxes: int = 200
               ) -> Tuple[List[tuple], List[float]]:
@@ -391,8 +403,11 @@ class Detector:
 
         for imgs, scales, n in prefetch(host_batches(), device_put_fn=put):
             if device_preprocess:
-                det = jax.tree.map(np.asarray, self._serve_raw(imgs))
+                det = jax.tree.map(
+                    np.asarray, self._serve_raw(self._forward_state, imgs))
             else:
-                det = jax.tree.map(np.asarray, self._serve(imgs, scales))
+                det = jax.tree.map(
+                    np.asarray,
+                    self._serve(self._forward_state, imgs, scales))
             for i in range(n):
                 yield jax.tree.map(lambda a: a[i], det)

@@ -115,10 +115,10 @@ def run_benchmark(det, *, batch_size: int = 1, bm_runs: int = 10,
     scales = jnp.full((batch_size,), scale, jnp.float32)
 
     if only_network:
-        fwd = jax.jit(lambda x: det.net.apply(det.variables, x, False))
-        fn, args = fwd, (images,)
+        fwd = jax.jit(lambda v, x: det.net.apply(v, x, False))
+        fn, args = fwd, (det.variables, images)
     else:
-        fn, args = det._serve, (images, scales)
+        fn, args = det._serve, (det._forward_state, images, scales)
     t0 = time.perf_counter()
     jax.block_until_ready(fn(*args))
     compile_s = time.perf_counter() - t0

@@ -127,21 +127,29 @@ def quantize_conv_params(variables, paths: Iterable[str]
     return out
 
 
-def make_int8_interceptor(act_scales: Dict[str, float],
-                          qkernels: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
-                          variables,
-                          skip_patterns: Sequence[str] = DEFAULT_SKIP):
-    """Interceptor replacing eligible convs with the int8 compute path."""
+def extract_biases(variables, paths: Iterable[str]
+                   ) -> Dict[str, Optional[jnp.ndarray]]:
+    """Conv biases (f32) for the quantized paths; None where bias-free."""
     params = variables["params"]
-
-    def bias_for(path: str) -> Optional[jnp.ndarray]:
+    out = {}
+    for path in paths:
         node = params
         for part in path.split("/"):
             node = node[part]
         b = node.get("bias")
-        return None if b is None else jnp.asarray(b, jnp.float32)
+        out[path] = None if b is None else jnp.asarray(b, jnp.float32)
+    return out
 
-    biases = {p: bias_for(p) for p in qkernels}
+
+def make_int8_interceptor(act_scales: Dict[str, float],
+                          qkernels: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+                          biases: Dict[str, Optional[jnp.ndarray]],
+                          skip_patterns: Sequence[str] = DEFAULT_SKIP):
+    """Interceptor replacing eligible convs with the int8 compute path.
+
+    `qkernels`/`biases` may hold tracers: Int8Serve builds the interceptor
+    inside the traced serve program so the quantized weights are runtime
+    arguments, not embedded constants."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
@@ -173,27 +181,33 @@ def make_int8_interceptor(act_scales: Dict[str, float],
 
 
 class Int8Serve:
-    """Quantized drop-in for `net.apply(variables, images, False)`.
+    """Quantized drop-in for the Detector's forward.
 
-    Build once from calibration batches, then call like the float
-    forward. Used by `Detector.quantize_int8`."""
+    Build once from calibration batches, then call as
+    `int8(int8.state, images)`: the float variables, int8 kernels and
+    biases all ride the `state` pytree as runtime arguments of the jitted
+    serve program (not embedded constants). Used by
+    `Detector.quantize_int8` (which stores `state` as _forward_state)."""
 
     def __init__(self, net, variables, calibration_batches,
                  skip_patterns: Sequence[str] = DEFAULT_SKIP):
         self.net = net
-        self.variables = variables
         self.skip_patterns = tuple(skip_patterns)
         float_apply = lambda images: net.apply(variables, images, False)
         self.act_scales = collect_act_scales(
             float_apply, calibration_batches, self.skip_patterns)
-        self.qkernels = quantize_conv_params(variables, self.act_scales)
-        self._interceptor = make_int8_interceptor(
-            self.act_scales, self.qkernels, variables, self.skip_patterns)
+        qkernels = quantize_conv_params(variables, self.act_scales)
+        biases = extract_biases(variables, qkernels)
+        self.state = {"variables": variables, "qkernels": qkernels,
+                      "biases": biases}
         n_params = sum(int(np.prod(k.shape))
-                       for k, _ in self.qkernels.values())
+                       for k, _ in qkernels.values())
         logger.info("int8 serve: %d convs quantized (%.1f MB int8 weights)",
-                    len(self.qkernels), n_params / 1e6)
+                    len(qkernels), n_params / 1e6)
 
-    def __call__(self, images: jnp.ndarray):
-        with nn.intercept_methods(self._interceptor):
-            return self.net.apply(self.variables, images, False)
+    def __call__(self, state, images: jnp.ndarray):
+        interceptor = make_int8_interceptor(
+            self.act_scales, state["qkernels"], state["biases"],
+            self.skip_patterns)
+        with nn.intercept_methods(interceptor):
+            return self.net.apply(state["variables"], images, False)

@@ -137,7 +137,8 @@ def evaluate(model_name: str, val_file_pattern: str, *,
                     classes=detections.classes + postprocess.CLASS_OFFSET)
         else:
             detections = jax.tree.map(
-                np.asarray, det._serve(jnp.asarray(batch["images"]), ones))
+                np.asarray, det._serve(det._forward_state,
+                                       jnp.asarray(batch["images"]), ones))
         for i in range(batch_size):
             keep = detections.valid[i] & (detections.scores[i]
                                           >= score_thresh)

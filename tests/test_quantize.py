@@ -33,17 +33,18 @@ def int8_detector(rng):
                 "fpn_cell_repeats": 1, "box_class_repeats": 1,
                 "nms_configs": {"score_thresh": 0.0, "pre_nms_topk": 64,
                                 "max_output_size": 16}})
-    float_forward = det._forward
+    float_forward = det._forward          # (state, images) -> outputs
+    float_state = det._forward_state      # == det.variables
     det.quantize_int8(_frames(rng, 16))
-    return det, float_forward
+    return det, float_forward, float_state
 
 
 @pytest.mark.slow
 def test_forward_tracks_float(int8_detector, rng):
-    det, float_forward = int8_detector
+    det, float_forward, float_state = int8_detector
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
-    f_cls, f_box = jax.jit(float_forward)(x)
-    q_cls, q_box = jax.jit(det._forward)(x)
+    f_cls, f_box = jax.jit(float_forward)(float_state, x)
+    q_cls, q_box = jax.jit(det._forward)(det._forward_state, x)
     for fc, qc in zip(f_cls, q_cls):
         # class outputs are logits -> compare at probability level
         d = np.abs(jax.nn.sigmoid(fc.astype(jnp.float32))
@@ -56,13 +57,14 @@ def test_forward_tracks_float(int8_detector, rng):
 
 @pytest.mark.slow
 def test_serve_drop_in(int8_detector, rng):
-    det, float_forward = int8_detector
+    det, float_forward, float_state = int8_detector
     frames = _frames(rng, 2)
     qd = det.serve(frames)
     assert qd.boxes.shape[0] == 2
     # scores after NMS track the float path closely (box identity can
     # legitimately reorder among near-tied random-init detections)
     det._forward = float_forward
+    det._forward_state = float_state
     det._serve = jax.jit(det._serve_impl)
     fd = det.serve(frames)
     det.quantize_int8(_frames(rng, 8))
@@ -72,21 +74,21 @@ def test_serve_drop_in(int8_detector, rng):
 
 @pytest.mark.slow
 def test_quantized_conv_count_and_skip(int8_detector):
-    det, _ = int8_detector
-    q = det._forward
-    assert len(q.qkernels) > 50  # backbone + fpn + head bodies
-    assert all("predict" not in p for p in q.qkernels)
+    det, _, _ = int8_detector
+    qkernels = det._forward_state["qkernels"]
+    assert len(qkernels) > 50  # backbone + fpn + head bodies
+    assert all("predict" not in p for p in qkernels)
     # head body convs ARE quantized (shared across levels)
-    assert any(p.startswith("class_net/") for p in q.qkernels)
+    assert any(p.startswith("class_net/") for p in qkernels)
     # per-output-channel scales have the right shape
-    for p, (k, s) in q.qkernels.items():
+    for p, (k, s) in qkernels.items():
         assert k.dtype == jnp.int8 and s.shape == (k.shape[-1],)
         assert int(jnp.max(jnp.abs(k))) <= 127
 
 
 @pytest.mark.slow
 def test_requires_frames(int8_detector):
-    det, _ = int8_detector
+    det, _, _ = int8_detector
     with pytest.raises(ValueError):
         det.quantize_int8([])
 
@@ -96,14 +98,14 @@ def test_export_path_stays_float_after_quantize(int8_detector, rng):
     """export() traces _serve_float_impl: after quantize_int8 the export
     function must still be the FLOAT serve program (the documented
     'export() is unchanged' contract), not the int8 interceptor graph."""
-    det, float_forward = int8_detector
+    det, float_forward, float_state = int8_detector
     x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
     scales = jnp.ones((1,), jnp.float32)
     exp = jax.jit(det._serve_float_impl)(x, scales)
-    int8_forward = det._forward
-    det._forward = float_forward
-    ref = jax.jit(det._serve_impl)(x, scales)
-    det._forward = int8_forward
+    int8_forward, int8_state = det._forward, det._forward_state
+    det._forward, det._forward_state = float_forward, float_state
+    ref = jax.jit(det._serve_impl)(float_state, x, scales)
+    det._forward, det._forward_state = int8_forward, int8_state
     np.testing.assert_array_equal(np.asarray(exp.scores),
                                   np.asarray(ref.scores))
     np.testing.assert_array_equal(np.asarray(exp.boxes),

@@ -41,8 +41,9 @@ def bench(batch, model="efficientdet-lite4", iters=10):
                                 (batch, *spec.image_size, 3),
                                 minval=-1.0, maxval=1.0)
     jax.block_until_ready(state.patch)
-    step = jax.jit(functools.partial(attacker.train_step, with_asr=False),
-                   donate_argnums=0)
+    step_fn = jax.jit(functools.partial(attacker.train_step, with_asr=False),
+                      donate_argnums=0)
+    step = lambda s, im: step_fn(s, im, det_variables=variables)
     fence = lambda s: float(jnp.sum(s.scale))
     state, _ = step(state, images)
     fence(state)

@@ -45,7 +45,8 @@ def main(model="efficientdet-lite4", batch=24, iters=10):
                                 minval=-1.0, maxval=1.0)
     jax.block_until_ready(jax.tree.leaves(state)[0])
 
-    step = jax.jit(defender.train_step, donate_argnums=0)
+    step_fn = jax.jit(defender.train_step, donate_argnums=0)
+    step = lambda s, im: step_fn(s, im, det_variables=variables)
     fence = lambda s: float(jnp.sum(jax.tree.leaves(s)[0].astype(jnp.float32)))
     state, m = step(state, images)
     fence(state)

@@ -44,12 +44,16 @@ def bench_model(model_name: str, batches=(1, 8), iters=20):
     n_params = sum(int(np.prod(v.shape))
                    for v in jax.tree.leaves(variables["params"]))
 
-    def serve(images, scales):
+    # variables as a runtime argument: closure-captured weights lower as
+    # embedded HLO constants — d7x's 310 MB of f32 params blew the tunnel's
+    # remote-compile payload limit (HTTP 413) and slowed every compile
+    def serve(variables, images, scales):
         cls_out, box_out = net.apply(variables, images, False)
         return postprocess.postprocess_global(params, cls_out, box_out,
                                               image_scales=scales)
 
-    f = jax.jit(serve)
+    f0 = jax.jit(serve)
+    f = lambda x, s: f0(variables, x, s)
     rows = {}
     for b in batches:
         x = jax.random.uniform(jax.random.PRNGKey(1), (b, *hw, 3),
@@ -89,7 +93,14 @@ def main():
                for m in a.models] if a.models else ALL_MODELS)
 
     import jax
+    # merge into an existing sweep file so a targeted re-run
+    # (--models d7x) updates rows in place instead of dropping the rest
     results = {}
+    if os.path.isfile(a.out):
+        try:
+            results = json.load(open(a.out)).get("results", {})
+        except Exception:
+            pass
     payload = {"device": str(jax.devices()[0].device_kind),
                "dtype": "bf16 activations / f32 params",
                "program": "serve = forward + postprocess_global",

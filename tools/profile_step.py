@@ -113,10 +113,14 @@ def main(model_name="efficientdet-lite4", image_size=None, batch=12,
 
     state = attacker.init_state(jax.random.PRNGKey(3))
     step = jax.jit(attacker.train_step, static_argnames=("with_asr",))
-    dt = fenced(lambda s, xx: step(s, xx, with_asr=True)[0].patch, state, x)
+    dt = fenced(lambda s, xx: step(s, xx, with_asr=True,
+                                   det_variables=variables)[0].patch,
+                state, x)
     print(f"full step (+ASR):    {dt*1e3:7.1f} ms "
           f"({batch/dt:.1f} img/s/chip)", flush=True)
-    dt = fenced(lambda s, xx: step(s, xx, with_asr=False)[0].patch, state, x)
+    dt = fenced(lambda s, xx: step(s, xx, with_asr=False,
+                                   det_variables=variables)[0].patch,
+                state, x)
     print(f"full step (no ASR):  {dt*1e3:7.1f} ms "
           f"({batch/dt:.1f} img/s/chip)", flush=True)
 

@@ -66,7 +66,8 @@ def main(model="efficientdet-lite4", batch=24):
     import functools
     step = jax.jit(functools.partial(attacker.train_step, with_asr=False),
                    donate_argnums=0)
-    ba = report("full attack step", step.lower(state, x).compile())
+    ba = report("full attack step",
+                step.lower(state, x, det_variables=variables).compile())
     floor_ms = ba / (V5E_HBM_GBS * 1e9) * 1e3
     print(f"absolute step ceiling at the HBM roofline: "
           f"{batch / floor_ms * 1e3:.1f} img/s/chip")
