@@ -77,18 +77,30 @@ class Detector:
             from ..parallel import replicate
             self.variables = replicate(mesh, self.variables)
         self._params_dict = self.config.as_dict()
-        # The serve programs take the network state as a runtime ARGUMENT
-        # (self._forward_state) rather than closing over self.variables:
-        # closure-captured arrays lower as HLO constants, embedding the
-        # full weights into every compiled program (oversized compile
-        # payloads for the big variants, duplicated HBM across programs,
-        # slow compiles). _forward_state is the variables pytree, or the
-        # Int8Serve state after quantize_int8.
-        self._forward_state = self.variables
-        self._forward = lambda state, images: self.net.apply(state, images,
-                                                             False)
         self._serve = jax.jit(self._serve_impl)
         self._serve_raw = jax.jit(self._serve_raw_impl)
+
+    # The serve programs take the network state as a runtime ARGUMENT
+    # (self._forward_state) rather than closing over self.variables:
+    # closure-captured arrays lower as HLO constants, embedding the
+    # full weights into every compiled program (oversized compile
+    # payloads for the big variants, duplicated HBM across programs,
+    # slow compiles). _forward_state is the variables pytree, or the
+    # Int8Serve state after quantize_int8. `variables` is a property so
+    # assigning fresh weights post-construction (the external
+    # convert-then-assign workflow) reaches the already-jitted serve
+    # programs instead of leaving them on a stale state; it also resets
+    # any installed int8 path back to the float forward.
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, v):
+        self._variables = v
+        self._forward_state = v
+        self._forward = lambda state, images: self.net.apply(state, images,
+                                                             False)
 
     def _put_batch(self, images: np.ndarray, scales):
         """Device placement for a serve batch.

@@ -82,8 +82,12 @@ def test_detector_per_class_mode():
              .astype(np.uint8))
     out = det.serve(frame[None])
     assert out.boxes.shape == (1, 16, 4)
-    # per-class declassified boxes stay inside the (scaled) frame
-    assert float(out.boxes.max()) <= 64 + 1e-3
+    # reference parity: the per_class path does NOT clip boxes to the
+    # frame (only the global path does — tf2/postprocess.py per_class vs
+    # postprocess_global; pinned in test_postprocess_tf_parity) — decoded
+    # boxes may spill past the border but must stay finite and near it
+    assert np.isfinite(out.boxes).all()
+    assert float(np.abs(out.boxes).max()) <= 2 * 64
 
 
 @pytest.mark.slow

@@ -178,7 +178,7 @@ def test_defender_step_on_mesh(tiny_detector, rand_images):
     fixed_scores = jnp.full((8, 4), 0.9, jnp.float32)
     fixed_valid = jnp.ones((8, 4), bool)
 
-    def fixed_odet(images, score_thresh=None):
+    def fixed_odet(images, score_thresh=None, det_variables=None):
         return fixed_boxes, fixed_scores, fixed_valid
 
     defender = PatchAttackDefender(cfg, variables)

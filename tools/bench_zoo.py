@@ -54,15 +54,24 @@ def bench_model(model_name: str, batches=(1, 8), iters=20):
 
     f0 = jax.jit(serve)
     f = lambda x, s: f0(variables, x, s)
+    # v5e peaks for the roofline columns (tools/roofline.py)
+    HBM_GBS, BF16_TFLOPS = 819.0, 197.0
     rows = {}
     for b in batches:
         x = jax.random.uniform(jax.random.PRNGKey(1), (b, *hw, 3),
                                minval=-1, maxval=1)
         scales = jnp.ones((b,), jnp.float32)
         t0 = time.perf_counter()
+        lowered = f0.lower(variables, x, scales)
+        compiled = lowered.compile()
         det = f(x, scales)
         _ = float(jnp.sum(det.scores))  # fence through a host read
         compile_s = time.perf_counter() - t0
+        ca = compiled.cost_analysis() or {}
+        flops, bytes_ = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+        # XLA-cost-model floor: the larger of the compute / bandwidth bounds
+        floor_ms = max(flops / (BF16_TFLOPS * 1e12),
+                       bytes_ / (HBM_GBS * 1e9)) * 1e3
         for _ in range(3):
             det = f(x, scales)
         _ = float(jnp.sum(det.scores))
@@ -71,9 +80,13 @@ def bench_model(model_name: str, batches=(1, 8), iters=20):
             det = f(x, scales)
         _ = float(jnp.sum(det.scores))
         dt = (time.perf_counter() - t0) / iters
-        rows[b] = {"ms": dt * 1e3, "fps": b / dt, "compile_s": compile_s}
+        rows[b] = {"ms": dt * 1e3, "fps": b / dt, "compile_s": compile_s,
+                   "gflop": flops / 1e9, "gb_accessed": bytes_ / 1e9,
+                   "roofline_floor_ms": floor_ms,
+                   "pct_of_roofline": 100.0 * floor_ms / (dt * 1e3)}
         print(f"{model_name} @ {hw[0]} b{b}: {dt*1e3:7.2f} ms "
-              f"({b/dt:7.1f} img/s, compile {compile_s:.0f}s)", flush=True)
+              f"({b/dt:7.1f} img/s, compile {compile_s:.0f}s, "
+              f"{100.0*floor_ms/(dt*1e3):.0f}% of roofline)", flush=True)
     return {"image_size": hw[0], "params_m": n_params / 1e6,
             "batches": rows}
 
@@ -117,17 +130,23 @@ def main():
     print(f"\nwrote {a.out}\n")
 
     # markdown table
-    print("| model | size | params | b1 ms | b1 img/s | b8 ms | b8 img/s |")
-    print("|---|---|---|---|---|---|---|")
+    print("| model | size | params | b1 ms | b1 img/s | b8 ms | b8 img/s "
+          "| b8 %roof |")
+    print("|---|---|---|---|---|---|---|---|")
     for m, r in results.items():
         if "error" in r:
-            print(f"| {m} | — | — | {r['error']} | | | |")
+            print(f"| {m} | — | — | {r['error']} | | | | |")
             continue
         b1 = r["batches"].get(1) or r["batches"].get("1")
         b8 = r["batches"].get(8) or r["batches"].get("8")
+        roof = b8.get("pct_of_roofline")
         print(f"| {m} | {r['image_size']} | {r['params_m']:.1f}M "
               f"| {b1['ms']:.2f} | {b1['fps']:.0f} "
-              f"| {b8['ms']:.2f} | {b8['fps']:.0f} |")
+              f"| {b8['ms']:.2f} | {b8['fps']:.0f} "
+              f"| {roof:.0f}% |" if roof is not None else
+              f"| {m} | {r['image_size']} | {r['params_m']:.1f}M "
+              f"| {b1['ms']:.2f} | {b1['fps']:.0f} "
+              f"| {b8['ms']:.2f} | {b8['fps']:.0f} | — |")
 
 
 if __name__ == "__main__":
