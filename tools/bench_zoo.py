@@ -120,7 +120,15 @@ def main():
                "results": results}
     for m in models:
         try:
-            results[m] = bench_model(m, tuple(a.batches), a.iters)
+            row = bench_model(m, tuple(a.batches), a.iters)
+            # merge batches into an existing row so `--models lite0
+            # --batches 32` augments the b1/b8 data instead of dropping it
+            prior = results.get(m, {})
+            if "batches" in prior and "error" not in prior:
+                merged = dict(prior["batches"])
+                merged.update({str(k): v for k, v in row["batches"].items()})
+                row["batches"] = merged
+            results[m] = row
         except Exception as e:  # record and continue the sweep
             print(f"{m}: FAILED {type(e).__name__}: {e}", flush=True)
             results[m] = {"error": f"{type(e).__name__}: {e}"}
