@@ -248,6 +248,10 @@ def default_detection_configs() -> Config:
         # TPU-specific: static candidate count selected by top-k before the
         # suppression loop (replaces the reference's all-anchor dynamic input).
         "pre_nms_topk": 1024,
+        # TPU-specific: approximate candidate selection via lax.approx_max_k
+        # (fused PartialReduce). False = exact parity; True = recall target
+        # 0.95; a float = that recall target. ~5% end-to-end on d7/d7x serve.
+        "pre_nms_approx_topk": False,
     }
     h.tflite_max_detections = 100  # reference hparams_config.py:267
     # training-time augmentation policy: None | 'v0'..'v3' | 'test' |

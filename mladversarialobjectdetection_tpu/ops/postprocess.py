@@ -81,6 +81,31 @@ def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
     return jnp.clip(boxes, lo, hi)
 
 
+def _select_topk(scores, topk: int, nms_cfg):
+    """Pre-NMS candidate selection: exact `lax.top_k`, or the TPU-native
+    approximate variant when `nms_configs.pre_nms_approx_topk` is set.
+
+    `lax.approx_max_k` maps onto the TPU's fused PartialReduce unit and is
+    measured ~5% end-to-end on the 1536px giants (d7x b8 serve: exact top-k
+    over ~590k anchors costs ~11 ms of a 219 ms step; the approx variant
+    ~2.6 ms — BENCH_NOTES "approximate pre-NMS top-k"). Default OFF: exact
+    parity with the reference candidate set. `True` uses recall target 0.95;
+    a float value is used as the recall target directly. With the default
+    `aggregate_to_topk=True` the output is exactly sorted descending, so
+    downstream NMS semantics are unchanged — only which tail candidates
+    enter the pool differs. On CPU the op lowers to an exact sort.
+    """
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    try:
+        approx = get("pre_nms_approx_topk")
+    except KeyError:
+        approx = None
+    if not approx:
+        return jax.lax.top_k(scores, topk)
+    recall = 0.95 if approx is True else float(approx)
+    return jax.lax.approx_max_k(scores, topk, recall_target=recall)
+
+
 def nms_kwargs_from_config(nms_configs) -> dict:
     """Translate a config nms_configs block into nms_padded kwargs."""
     get = nms_configs.get if hasattr(nms_configs, "get") else nms_configs.__getitem__
@@ -106,7 +131,7 @@ def postprocess_global(params, cls_outputs, box_outputs,
     topk = int(get("pre_nms_topk") or 1024)
     topk = min(topk, scores.shape[1])
 
-    top_scores, top_idx = jax.lax.top_k(scores, topk)           # [B, K]
+    top_scores, top_idx = _select_topk(scores, topk, nms_cfg)   # [B, K]
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
 
@@ -138,7 +163,7 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
     get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
     topk = min(int(get("pre_nms_topk") or 1024), scores.shape[1])
 
-    top_scores, top_idx = jax.lax.top_k(scores, topk)
+    top_scores, top_idx = _select_topk(scores, topk, nms_cfg)
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
 
@@ -210,7 +235,7 @@ def postprocess_combined(params, cls_outputs, box_outputs,
     score_thresh = get("score_thresh") or None  # None -> hard default -inf
 
     flat = scores.reshape(b, a * c)
-    top_scores, top_flat_idx = jax.lax.top_k(flat, topk)      # [B, K]
+    top_scores, top_flat_idx = _select_topk(flat, topk, nms_cfg)  # [B, K]
     top_anchor = top_flat_idx // c
     top_classes = (top_flat_idx % c).astype(jnp.int32)
     top_boxes = jnp.take_along_axis(boxes, top_anchor[..., None], axis=1)
@@ -324,7 +349,7 @@ def tflite_detections_from_pre(params, box_enc, scores,
                            ycenter + hh / 2, xcenter + ww / 2], axis=-1)
 
     topk = min(int(get("pre_nms_topk") or 1024), max_scores.shape[1])
-    top_scores, top_idx = jax.lax.top_k(max_scores, topk)
+    top_scores, top_idx = _select_topk(max_scores, topk, nms_cfg)
     top_boxes = jnp.take_along_axis(dec_boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(cls_ids, top_idx, axis=1)
 

@@ -273,3 +273,39 @@ def test_coco_metric_matches_pycocotools_if_available():
             "ARmax1", "ARmax10", "ARmax100", "ARs", "ARm", "ARl"]
     for i, k in enumerate(keys):
         assert ours[k] == pytest.approx(float(ce.stats[i]), abs=1e-6), k
+
+
+def test_approx_topk_candidate_selection():
+    """`nms_configs.pre_nms_approx_topk` swaps exact lax.top_k for
+    lax.approx_max_k in every postprocess mode. On CPU the approx op
+    lowers to an exact sort, so detections must be identical to the
+    exact path; on TPU only the candidate tail may differ (recall-target
+    semantics). Covers bool and float-recall forms of the knob."""
+    rng = np.random.RandomState(0)
+    params = {
+        "num_classes": 4, "min_level": 3, "max_level": 4, "num_scales": 2,
+        "aspect_ratios": [1.0, 2.0], "anchor_scale": 4.0, "image_size": 64,
+        "nms_configs": {"method": "hard", "iou_thresh": 0.5,
+                        "score_thresh": 0.0, "sigma": None,
+                        "max_output_size": 16, "pre_nms_topk": 32},
+    }
+    cls_outs = [jnp.asarray(rng.randn(2, 8, 8, 4 * 4), jnp.float32),
+                jnp.asarray(rng.randn(2, 4, 4, 4 * 4), jnp.float32)]
+    box_outs = [jnp.asarray(rng.randn(2, 8, 8, 4 * 4) * 0.1, jnp.float32),
+                jnp.asarray(rng.randn(2, 4, 4, 4 * 4) * 0.1, jnp.float32)]
+
+    for mode in (postprocess.postprocess_global,
+                 postprocess.postprocess_per_class,
+                 postprocess.postprocess_combined):
+        exact = mode(params, cls_outs, box_outs)
+        for knob in (True, 0.9):
+            p2 = dict(params)
+            p2["nms_configs"] = dict(params["nms_configs"],
+                                     pre_nms_approx_topk=knob)
+            approx = mode(p2, cls_outs, box_outs)
+            np.testing.assert_allclose(np.asarray(exact.boxes),
+                                       np.asarray(approx.boxes), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(exact.scores),
+                                       np.asarray(approx.scores), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(exact.classes),
+                                          np.asarray(approx.classes))
