@@ -45,10 +45,15 @@ class Detector:
             'tflite' returns the TFLite custom-op output contract —
             normalized [0,1] boxes, 0-based classes, no scale-back.
           mesh: optional jax.sharding.Mesh (parallel.make_mesh /
-            make_hybrid_mesh). Serving then runs SPMD data-parallel:
-            variables replicated, the batch dim sharded over the mesh
-            (padded up to a multiple of its size), results unpadded —
-            multi-chip serving beyond the reference's one-device drivers.
+            make_hybrid_mesh / make_serve_mesh). Serving then runs SPMD:
+            variables replicated, the batch dim sharded over the mesh's
+            data axes (padded up to a multiple of their size), results
+            unpadded — multi-chip serving beyond the reference's
+            one-device drivers. A `make_serve_mesh(n_data, n_spatial)`
+            mesh additionally shards each image's ROWS over the
+            'spatial' axis: GSPMD partitions every conv with halo
+            exchange over ICI — model-parallel serving that cuts the
+            large-variant (d5-d7x) latency below one chip's floor.
         """
         self.post_mode = post_mode
         self.mesh = mesh
@@ -74,7 +79,14 @@ class Detector:
                 self.variables = jax.tree.map(lambda _, r: r, self.variables,
                                               restored)
         if mesh is not None:
-            from ..parallel import replicate
+            from ..parallel import SPATIAL_AXIS, replicate
+            if SPATIAL_AXIS in mesh.axis_names:
+                n_sp = mesh.shape[SPATIAL_AXIS]
+                if self.spec.image_size[0] % n_sp != 0:
+                    raise ValueError(
+                        f"spatial serving needs image height "
+                        f"{self.spec.image_size[0]} divisible by the "
+                        f"'{SPATIAL_AXIS}' mesh axis size {n_sp}")
             self.variables = replicate(mesh, self.variables)
         self._params_dict = self.config.as_dict()
         self._serve = jax.jit(self._serve_impl)
@@ -106,24 +118,33 @@ class Detector:
         """Device placement for a serve batch.
 
         Without a mesh: plain transfers. With one: pad the batch up to a
-        multiple of the mesh size (repeating the last frame) and shard
-        dim 0 over the mesh — XLA then partitions the whole serve program
-        data-parallel. Returns (images, scales, original_batch)."""
+        multiple of the data-axis size (repeating the last frame) and
+        shard dim 0 over the data axes — XLA then partitions the whole
+        serve program data-parallel. On a ('data','spatial') serve mesh
+        the image ROWS additionally shard over 'spatial' (model-parallel
+        convs via GSPMD halo exchange); raw uint8 frames of arbitrary
+        height stay batch-sharded and pick up the row sharding after the
+        on-device resize (see _serve_raw_impl). Returns
+        (images, scales, original_batch)."""
         b = images.shape[0]
         if self.mesh is None:
             return (jnp.asarray(images),
                     None if scales is None else jnp.asarray(scales), b)
-        from ..parallel import batch_sharding
-        pad = (-b) % self.mesh.size
+        from ..parallel import batch_sharding, data_axis_names, image_sharding
+        n_data = int(np.prod([self.mesh.shape[a]
+                              for a in data_axis_names(self.mesh)]))
+        pad = (-b) % n_data
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
             if scales is not None:
                 scales = np.concatenate(
                     [scales, np.repeat(scales[-1:], pad, 0)])
-        sharding = batch_sharding(self.mesh)
-        return (jax.device_put(images, sharding),
+        img_sharding = (image_sharding(self.mesh)
+                        if images.shape[1:3] == tuple(self.spec.image_size)
+                        else batch_sharding(self.mesh))
+        return (jax.device_put(images, img_sharding),
                 None if scales is None else jax.device_put(
-                    np.asarray(scales), sharding), b)
+                    np.asarray(scales), batch_sharding(self.mesh)), b)
 
     def quantize_int8(self, representative_frames, *,
                       skip_patterns=None) -> None:
@@ -276,6 +297,13 @@ class Detector:
             lambda im: preprocess_jax(im, self.config.image_size,
                                       self.config.mean_rgb,
                                       self.config.stddev_rgb))(raw)
+        if self.mesh is not None:
+            # raw frames arrive batch-sharded (arbitrary height); on a
+            # spatial serve mesh re-lay the fixed-shape resized batch so
+            # the network runs row-sharded from the first conv
+            from ..parallel import image_sharding
+            images = jax.lax.with_sharding_constraint(
+                images, image_sharding(self.mesh))
         return self._serve_impl(state, images, scales)
 
     def serve(self, raw_frames, *,

@@ -1,3 +1,4 @@
 from .mesh import (make_mesh, make_mesh_for_batch, make_hybrid_mesh,  # noqa: F401
-                   batch_sharding, replicated_sharding, shard_batch,
-                   replicate)
+                   make_serve_mesh, batch_sharding, image_sharding,
+                   data_axis_names, replicated_sharding, shard_batch,
+                   replicate, SPATIAL_AXIS)

@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -105,12 +106,57 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_serve_mesh(n_data: int, n_spatial: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ('data', 'spatial') mesh for model-parallel serving.
+
+    Spatial partitioning is the TPU-native way to serve the large-image
+    variants (d5-d7x at 1280-1536 px) below their single-chip latency
+    floor: each image's ROWS are sharded over `n_spatial` chips and
+    GSPMD turns every conv into per-shard convs + halo exchange of the
+    kernel overlap rows over ICI (the MLPerf segmentation/detection
+    recipe). The reference has no analog — its per-GPU serving is whole
+    images only. Devices are laid out data-major so the `n_spatial`
+    chips cooperating on one image are mesh-adjacent (halo traffic rides
+    neighbor ICI links); the batch shards over the outer 'data' axis.
+
+    Use with `Detector(mesh=make_serve_mesh(...))`; the model's input
+    height must be divisible by n_spatial (Detector validates).
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_spatial
+    if len(devices) < need:
+        raise ValueError(f"serve mesh ({n_data}, {n_spatial}) needs {need} "
+                         f"devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(n_data, n_spatial)
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def data_axis_names(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dim shards over: every axis except the
+    model-parallel 'spatial' axis (so a ('dcn','data') hybrid shards
+    over both, a ('data','spatial') serve mesh over 'data' only)."""
+    return tuple(n for n in mesh.axis_names if n != SPATIAL_AXIS)
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [B, H, W, C] image batch: batch over the data
+    axes, rows over 'spatial' when the mesh has one."""
+    names = data_axis_names(mesh)
+    batch_spec = names if len(names) > 1 else (names[0] if names else None)
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(batch_spec, SPATIAL_AXIS, None, None))
+    return NamedSharding(mesh, P(batch_spec))
+
+
 def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
-    """Shard dim 0 (batch) over the mesh — over ALL axes of a hybrid
-    ('dcn', 'data') mesh, so each device holds batch/n_devices images."""
+    """Shard dim 0 (batch) over the mesh — over ALL data axes of a
+    hybrid ('dcn', 'data') mesh, so each device holds batch/n_devices
+    images; a serve mesh's model-parallel 'spatial' axis is excluded."""
     if axis_name is not None:
         return NamedSharding(mesh, P(axis_name))
-    names = tuple(mesh.axis_names)
+    names = data_axis_names(mesh)
     return NamedSharding(mesh, P(names if len(names) > 1 else names[0]))
 
 

@@ -134,6 +134,65 @@ def test_sharded_serve_pipelined_matches():
         np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
 
 
+def test_serve_mesh_layout():
+    """('data','spatial') serve mesh: batch shards over 'data' only,
+    image rows over 'spatial'; data-major device layout keeps the chips
+    cooperating on one image mesh-adjacent."""
+    from mladversarialobjectdetection_tpu.parallel import (data_axis_names,
+                                                           image_sharding,
+                                                           make_serve_mesh)
+    mesh = make_serve_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "spatial")
+    assert data_axis_names(mesh) == ("data",)
+    x = jax.device_put(np.zeros((4, 64, 32, 3), np.float32),
+                       image_sharding(mesh))
+    # each device holds batch/2 x rows/4
+    assert x.addressable_shards[0].data.shape == (2, 16, 32, 3)
+    assert len({s.device for s in x.addressable_shards}) == 8
+    # scales stay data-sharded only
+    s = jax.device_put(np.zeros((4,), np.float32), batch_sharding(mesh))
+    assert s.addressable_shards[0].data.shape == (2,)
+    with pytest.raises(ValueError, match="devices"):
+        make_serve_mesh(4, 4)
+
+
+def test_spatial_sharded_serving_matches_single_device():
+    """Detector(mesh=make_serve_mesh(2, 4)): model-parallel serving —
+    image rows sharded over 'spatial', GSPMD halo-exchange convs — must
+    reproduce the one-device results (both host- and device-preprocess
+    paths, with a batch exercising the data-axis padding)."""
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.parallel import make_serve_mesh
+
+    rng = np.random.default_rng(2)
+    frames = [rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(3)]  # 3 does not divide n_data=2 -> padding
+    ref = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS)
+    par = Detector(model_name="efficientdet-lite0", params=_TINY_DET_PARAMS,
+                   mesh=make_serve_mesh(2, 4))
+
+    d_ref = ref.serve(frames)
+    d_par = par.serve(frames)
+    assert d_par.boxes.shape == d_ref.boxes.shape
+    np.testing.assert_allclose(d_par.scores, d_ref.scores, atol=1e-5)
+    np.testing.assert_allclose(d_par.boxes, d_ref.boxes, atol=1e-3)
+    np.testing.assert_array_equal(d_par.classes, d_ref.classes)
+
+    r_ref = ref.serve(frames, device_preprocess=True)
+    r_par = par.serve(frames, device_preprocess=True)
+    np.testing.assert_allclose(r_par.scores, r_ref.scores, atol=1e-5)
+    np.testing.assert_allclose(r_par.boxes, r_ref.boxes, atol=1e-3)
+
+
+def test_spatial_mesh_rejects_indivisible_height():
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+    from mladversarialobjectdetection_tpu.parallel import make_serve_mesh
+    with pytest.raises(ValueError, match="divisible"):
+        Detector(model_name="efficientdet-lite0",
+                 params={"image_size": 100}, mesh=make_serve_mesh(1, 8))
+
+
 def test_make_mesh_for_batch_multihost_is_hybrid(monkeypatch):
     """On multi-host (process_count > 1) the drivers' mesh factory must
     return the DCN-aware hybrid layout (or reject a non-divisible batch)."""
