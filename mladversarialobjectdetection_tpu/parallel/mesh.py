@@ -166,9 +166,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch, axis_name: Optional[str] = None):
     """Device_put a host batch with the leading dim sharded over the mesh
-    (all mesh axes by default — see batch_sharding)."""
+    (all data axes by default — see batch_sharding).
+
+    On a ('data', 'spatial') serve/train mesh, image-like leaves
+    ([B, H, W, C] with H divisible by the spatial axis) additionally
+    shard their rows over 'spatial' — labels, boxes and scalars stay
+    data-sharded, so one call shards a whole training batch pytree for
+    spatially-partitioned training of the large-image variants."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    img = None
+    if axis_name is None and SPATIAL_AXIS in mesh.axis_names:
+        img = image_sharding(mesh)
+        n_sp = mesh.shape[SPATIAL_AXIS]
+
+    def put(x):
+        if (img is not None and getattr(x, "ndim", 0) == 4
+                and x.shape[1] % n_sp == 0):
+            return jax.device_put(x, img)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

@@ -67,7 +67,7 @@ def train(model_name: str = "efficientdet-d0", *,
           eval_batches: int = 50, map_freq: int = 5, image_size=None,
           seed: int = 0, resume: bool = False, config_override=None,
           prune_sparsity: float | None = None, prune_begin: int = 0,
-          prune_end: int | None = None):
+          prune_end: int | None = None, spatial: int = 1):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
@@ -78,7 +78,30 @@ def train(model_name: str = "efficientdet-d0", *,
         # 'key=value,key=value' string / yaml path via Config.update
         config.update(config_override)
 
-    mesh = make_mesh_for_batch(batch_size)
+    if spatial > 1:
+        # spatially-partitioned training: image rows shard over 'spatial'
+        # (GSPMD halo-exchange convs + cross-spatial BN collectives) — the
+        # memory lever for the 1024-1536px variants, where per-chip
+        # activation footprint, not batch, binds. shard_batch routes the
+        # image leaves onto the row sharding automatically.
+        from ..parallel import make_serve_mesh
+        n_dev = len(jax.devices())
+        if n_dev % spatial != 0:
+            raise ValueError(f"--spatial {spatial} must divide the "
+                             f"{n_dev} devices")
+        n_data = n_dev // spatial
+        if batch_size % n_data != 0:
+            raise ValueError(f"batch_size {batch_size} must be divisible "
+                             f"by the data-axis size {n_data} "
+                             f"({n_dev} devices / spatial {spatial})")
+        hw = config.image_size if isinstance(config.image_size, int) \
+            else config.image_size[0]
+        if hw % spatial != 0:
+            raise ValueError(f"image height {hw} must be divisible by "
+                             f"--spatial {spatial}")
+        mesh = make_serve_mesh(n_data, spatial)
+    else:
+        mesh = make_mesh_for_batch(batch_size)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
                               bn_axis_name=None)
     state = trainer.init_state(jax.random.PRNGKey(seed))
@@ -206,13 +229,19 @@ def main():
     p.add_argument("--prune-end", type=int, default=None,
                    help="step at which the sparsity ramp ends "
                         "(default: last training step)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each image's rows over this many chips "
+                        "(spatial model parallelism for the large "
+                        "variants; must divide the device count and the "
+                        "image height)")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
           num_epochs=a.num_epochs, steps_per_epoch=a.steps_per_epoch,
           image_size=a.image_size, resume=a.resume,
           config_override=a.hparams, prune_sparsity=a.prune_sparsity,
-          prune_begin=a.prune_begin, prune_end=a.prune_end)
+          prune_begin=a.prune_begin, prune_end=a.prune_end,
+          spatial=a.spatial)
 
 
 if __name__ == "__main__":

@@ -207,6 +207,92 @@ def test_make_mesh_for_batch_multihost_is_hybrid(monkeypatch):
 
 
 @pytest.mark.slow
+def test_supervised_step_on_spatial_mesh(tiny_detector):
+    """Spatially-partitioned TRAINING: images row-sharded over the
+    'spatial' axis of a ('data','spatial') mesh, labels data-sharded
+    (one shard_batch call does both). GSPMD must reproduce the
+    single-device step — convs via halo exchange, BN batch stats and
+    gradient reductions via auto-inserted cross-spatial collectives.
+    This is the memory-bound large-variant (d4-d7x) training recipe:
+    per-chip activation footprint shrinks by the spatial factor."""
+    from mladversarialobjectdetection_tpu.parallel import make_serve_mesh
+    from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
+    cfg, spec, net, variables = tiny_detector
+    trainer = DetectorTrainer(cfg, steps_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(5)
+    b = 4
+    hw = cfg.image_size
+    images = jnp.asarray(rng.uniform(-1, 1, (b, hw, hw, 3)), jnp.float32)
+    y0 = rng.uniform(0, hw * 0.5, (b, 3))
+    x0 = rng.uniform(0, hw * 0.5, (b, 3))
+    h = rng.uniform(8, hw * 0.4, (b, 3))
+    w = rng.uniform(8, hw * 0.4, (b, 3))
+    gt_boxes = jnp.asarray(np.stack([y0, x0, y0 + h, x0 + w], -1),
+                           jnp.float32)
+    gt_classes = jnp.asarray(rng.integers(0, cfg.num_classes, (b, 3)),
+                             jnp.int32)
+    gt_valid = jnp.asarray(rng.uniform(0, 1, (b, 3)) < 0.8)
+
+    st_ref, m_ref = jax.jit(trainer.train_step)(state, images, gt_boxes,
+                                                gt_classes, gt_valid)
+
+    mesh = make_serve_mesh(2, 4)
+    st = replicate(mesh, state)
+    imgs = shard_batch(mesh, images)
+    # images really are row-sharded, labels batch-sharded
+    assert imgs.addressable_shards[0].data.shape == (2, hw // 4, hw, 3)
+    st_out, m_out = jax.jit(trainer.train_step)(
+        st, imgs, shard_batch(mesh, gt_boxes),
+        shard_batch(mesh, gt_classes), shard_batch(mesh, gt_valid))
+
+    # forward quantities are essentially exact (measured: loss rel 4e-6,
+    # BN stats 1e-6) — halo-exchange convs + cross-spatial BN collectives
+    # are semantically correct. Post-optimizer params carry more float
+    # wobble than the data-parallel case (3e-4 there): the conv-KERNEL
+    # gradient is a sum over all spatial positions, and per-row-shard
+    # partial sums + psum reorder that reduction; clip-by-global-norm
+    # then multiplies every update by the perturbed 1/||g||. Measured
+    # max 1.6e-3 on depthwise kernels — noise, not semantics.
+    for a, b_ in zip(jax.tree.leaves(st_out.params),
+                     jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+    # BN batch stats must be the GLOBAL spatial mean, not per-shard
+    for a, b_ in zip(jax.tree.leaves(st_out.batch_stats),
+                     jax.tree.leaves(st_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+    assert float(m_out["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                 rel=1e-4)
+
+
+@pytest.mark.slow
+def test_attack_step_on_spatial_mesh(tiny_detector, rand_images):
+    """The attack train step under spatial partitioning: the EOT
+    compositor's window updates span row shards, so this pins GSPMD
+    correctness for dynamic_update_slice/gather under the row sharding."""
+    from mladversarialobjectdetection_tpu.parallel import make_serve_mesh
+    cfg, spec, net, variables = tiny_detector
+    attacker = PatchAttacker(cfg, variables, patch_size=32)
+    state = attacker.init_state(jax.random.PRNGKey(0))
+    images = jnp.concatenate([rand_images] * 2, axis=0)  # batch 4
+
+    st_ref, m_ref = jax.jit(attacker.train_step)(state, images)
+
+    mesh = make_serve_mesh(2, 4)
+    attacker_sp = PatchAttacker(cfg, replicate(mesh, variables),
+                                patch_size=32)
+    st = replicate(mesh, state)
+    imgs = shard_batch(mesh, images)
+    assert imgs.addressable_shards[0].data.shape[1] == cfg.image_size // 4
+    st_out, m_out = jax.jit(attacker_sp.train_step)(st, imgs)
+
+    assert np.allclose(np.asarray(st_out.patch), np.asarray(st_ref.patch),
+                       atol=1e-5)
+    assert float(m_out.loss) == pytest.approx(float(m_ref.loss), rel=1e-4)
+
+
+@pytest.mark.slow
 def test_defender_step_on_mesh(tiny_detector, rand_images):
     """SPMD defender step == single-device step (the defense trainer's
     mesh path, defense/train.py; mirrors test_attack_step_on_mesh).
