@@ -26,7 +26,8 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..models.efficientdet import EfficientDetNet, spec_from_config
-from ..parallel import make_mesh_for_batch, replicate, shard_batch
+from ..parallel import (is_main_process, local_batch_size,
+                        make_mesh_for_batch, replicate, shard_batch_auto)
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from . import artifacts
@@ -119,25 +120,33 @@ def train(model_name: str = "efficientdet-lite4", *,
     # its trace cache and re-trace/re-compile the two-pass graph each time
     asr_curve = jax.jit(attacker.asr_curve)
 
-    # data
+    # data — multi-host: each process loads a disjoint shard at
+    # batch_size/process_count; shard_batch_auto assembles the slices into
+    # globally-sharded arrays (single-host: plain full-batch device_put)
+    n_proc = jax.process_count()
+    local_bs = local_batch_size(batch_size)
     if synthetic or img_dir is None:
         logger.info("using synthetic data")
-        train_iter = pipeline.synthetic_batches(batch_size, config.image_size,
-                                                seed=seed)
-        val_iter = pipeline.synthetic_batches(batch_size, config.image_size,
-                                              seed=seed + 1)
+        pseed = seed + 1000 * jax.process_index()
+        train_iter = pipeline.synthetic_batches(local_bs, config.image_size,
+                                                seed=pseed)
+        val_iter = pipeline.synthetic_batches(local_bs, config.image_size,
+                                              seed=pseed + 1)
         spe = steps_per_epoch or 50
         val_steps = 5
     else:
         parts = pipeline.partition(config, img_dir, label_dir,
                                    batch_size=batch_size, filter_data=False,
-                                   seed=seed)
-        train_iter = parts["train"]["source"].repeat_batches(batch_size)
-        val_iter = parts["val"]["source"].repeat_batches(batch_size)
+                                   seed=seed + jax.process_index())
+        if n_proc > 1:
+            parts["train"]["source"].shard(jax.process_index(), n_proc)
+            parts["val"]["source"].shard(jax.process_index(), n_proc)
+        train_iter = parts["train"]["source"].repeat_batches(local_bs)
+        val_iter = parts["val"]["source"].repeat_batches(local_bs)
         spe = steps_per_epoch or parts["train"]["length"]
         val_steps = parts["val"]["length"]
 
-    put = lambda b: shard_batch(mesh, b)
+    put = lambda b: shard_batch_auto(mesh, b)
     train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
     val_iter = pipeline.prefetch(val_iter, device_put_fn=put)
 
@@ -203,9 +212,10 @@ def train(model_name: str = "efficientdet-lite4", *,
                                f"patch_{epoch:02d}_{val['asr_to_scale']:.4f}")
         if val["loss"] < best_val_loss:
             best_val_loss = val["loss"]
-            artifacts.save_patch_dir(dirname, np.asarray(state.patch),
-                                     float(state.scale),
-                                     config.mean_rgb, config.stddev_rgb)
+            if is_main_process():  # one writer on multi-host shared dirs
+                artifacts.save_patch_dir(dirname, np.asarray(state.patch),
+                                         float(state.scale),
+                                         config.mean_rgb, config.stddev_rgb)
         new_opt = plateau.update(val["loss"], state.opt_state)
         state = state._replace(opt_state=new_opt)
     mlog.close()

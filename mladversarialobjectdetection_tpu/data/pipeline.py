@@ -92,6 +92,15 @@ class ImageFolderSource:
     def __len__(self):
         return len(self.files)
 
+    def shard(self, index: int, count: int) -> "ImageFolderSource":
+        """Restrict to the index-th of `count` disjoint file slices
+        (multi-host input: each process reads only its share). Returns
+        self for chaining; call BEFORE iterating."""
+        if not (0 <= index < count):
+            raise ValueError(f"bad shard ({index}, {count})")
+        self.files = self.files[index::count]
+        return self
+
     def __getitem__(self, idx: int) -> np.ndarray:
         im = _read_image(self.img_dir, self.files[idx])
         out, _ = preprocess_host(im, self.output_size, self.mean_rgb,

@@ -214,13 +214,23 @@ class DetectionTFRecordReader:
     def __init__(self, file_pattern: str, *, image_size, mean_rgb, stddev_rgb,
                  max_instances: int = 100, skip_crowd: bool = True,
                  shuffle: bool = True, seed: int = 0,
-                 autoaugment_policy: str | None = None):
+                 autoaugment_policy: str | None = None,
+                 shard: tuple[int, int] | None = None):
         import glob
 
         from ..utils.image import parse_image_size
         self.files = sorted(glob.glob(file_pattern))
         if not self.files:
             raise FileNotFoundError(file_pattern)
+        # (index, count): multi-host input sharding — this reader yields
+        # only its 1/count disjoint slice of the dataset (whole files when
+        # there are >= count of them, else every count-th example). Train
+        # drivers pass (jax.process_index(), jax.process_count()).
+        self.shard = shard
+        if shard is not None:
+            idx, cnt = shard
+            if not (0 <= idx < cnt):
+                raise ValueError(f"bad shard {shard}")
         self.image_size = parse_image_size(image_size)
         self.mean_rgb = mean_rgb
         self.stddev_rgb = stddev_rgb
@@ -233,11 +243,21 @@ class DetectionTFRecordReader:
 
     def _examples(self) -> Iterator[dict]:
         files = list(self.files)
+        ex_idx, ex_cnt = 0, 1
+        if self.shard is not None:
+            idx, cnt = self.shard
+            if len(files) >= cnt:
+                files = files[idx::cnt]
+            else:
+                ex_idx, ex_cnt = idx, cnt  # fall back to example striding
         if self.shuffle:
             self.rng.shuffle(files)
+        n = 0
         for path in files:
             for payload in read_tfrecord_file(path):
-                yield decode_detection_example(parse_example(payload))
+                if n % ex_cnt == ex_idx:
+                    yield decode_detection_example(parse_example(payload))
+                n += 1
 
     def batches(self, batch_size: int) -> Iterator[dict]:
         """Yield {'images' [B,H,W,3], 'boxes' [B,G,4] px, 'classes' [B,G]

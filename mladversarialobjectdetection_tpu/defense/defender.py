@@ -59,7 +59,7 @@ class PatchAttackDefender:
 
     def __init__(self, config, det_variables, *, eval_patch=None,
                  eval_scale: float = 0.4, learning_rate: float = 1e-2,
-                 n_filters: int = 8):
+                 n_filters: int = 8, grad_accum: int = 1):
         self.config = config
         self.spec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec)
@@ -79,6 +79,16 @@ class PatchAttackDefender:
         self.eval_patch = (jnp.asarray(eval_patch, jnp.float32)
                            if eval_patch is not None else None)
         self.eval_scale = eval_scale
+        # grad_accum > 1: train_step splits its batch into that many
+        # sequential microbatches (lax.scan) — detector pass, Masker and
+        # U-Net fwd+bwd all run at microbatch size, then ONE adam update
+        # applies the SUMMED gradients (the loss is a sum over images, so
+        # summed micro-gradients ARE the full-batch gradient up to the
+        # U-Net's per-microbatch BN statistics). The memory lever for
+        # training the 640px U-Net at large effective batch.
+        self.grad_accum = int(grad_accum)
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def init_state(self, key: jax.Array) -> DefenderState:
         k_init, k_state = jax.random.split(key)
@@ -139,6 +149,10 @@ class PatchAttackDefender:
         (attack_detection.py:208-237 logs these every visualize freq);
         off by default — it costs a full extra detector pass."""
         k_mask, k_drop, k_next = jax.random.split(state.key, 3)
+        if self.grad_accum > 1:
+            return self._train_step_accum(state, images, k_mask, k_drop,
+                                          k_next, with_adv_scores,
+                                          det_variables)
         boxes, clean_scores, clean_valid = self.odet_boxes(
             images, det_variables=det_variables)
         boxes = boxes[:, :self.max_boxes]
@@ -168,6 +182,74 @@ class PatchAttackDefender:
             mean_adv = _masked_mean(adv_scores, adv_valid)
         else:
             mean_adv = jnp.asarray(0.0)
+        metrics = DefenderMetrics(loss, mean_clean, mean_adv,
+                                  jnp.asarray(jnp.nan), jnp.asarray(jnp.nan))
+        return DefenderState(params, new_stats, opt_state, state.step + 1,
+                             k_next), metrics
+
+    def _train_step_accum(self, state: DefenderState, images, k_mask, k_drop,
+                          k_next, with_adv_scores: bool, det_variables):
+        """Gradient-accumulation train step (mirrors the k=1 body above):
+        lax.scan over `grad_accum` microbatches, each with its own
+        fold_in'd Masker/dropout keys, gradients SUMMED (the loss is a sum
+        over images), one adam update. Score means accumulate as
+        numerator/denominator pairs so the metric matches the full batch."""
+        k = self.grad_accum
+        b = images.shape[0]
+        if b % k != 0:
+            raise ValueError(f"batch {b} not divisible by grad_accum={k}")
+        micro = images.reshape(k, b // k, *images.shape[1:])
+
+        def body(carry, xs):
+            stats, gsum, lsum, num_c, den_c, num_a, den_a = carry
+            i, imgs = xs
+            km = jax.random.fold_in(k_mask, i)
+            kd = jax.random.fold_in(k_drop, i)
+            boxes, clean_scores, clean_valid = self.odet_boxes(
+                imgs, det_variables=det_variables)
+            boxes_m = boxes[:, :self.max_boxes]
+            boxes_valid = clean_valid[:, :self.max_boxes]
+            patched, targets = masker_lib.apply_masker(
+                km, imgs, boxes_m, boxes_valid, training=True)
+            mb = imgs.shape[0]
+            flat_targets = targets.reshape(mb, -1)
+
+            def loss_fn(params):
+                updates, new_stats = self._unet_apply(
+                    params, stats, patched, True, kd)
+                flat_updates = (2.0 * updates).reshape(mb, -1)
+                loss = jnp.sum(
+                    jnp.mean((flat_targets - flat_updates) ** 2, axis=1))
+                return loss, new_stats
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            cm = clean_valid.astype(clean_scores.dtype)
+            num_c = num_c + jnp.sum(clean_scores * cm)
+            den_c = den_c + jnp.sum(cm)
+            if with_adv_scores:
+                _, adv_scores, adv_valid = self.odet_boxes(
+                    patched, score_thresh=0.0, det_variables=det_variables)
+                am = adv_valid.astype(adv_scores.dtype)
+                num_a = num_a + jnp.sum(adv_scores * am)
+                den_a = den_a + jnp.sum(am)
+            return (stats, gsum, lsum + loss, num_c, den_c,
+                    num_a, den_a), None
+
+        zero = jnp.zeros((), jnp.float32)
+        zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum, loss, num_c, den_c, num_a, den_a), _ = jax.lax.scan(
+            body,
+            (state.batch_stats, zeros_g, zero, zero, zero, zero, zero),
+            (jnp.arange(k), micro))
+
+        updates, opt_state = self.tx.update(gsum, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        mean_clean = num_c / (den_c + 1e-7)
+        mean_adv = (num_a / (den_a + 1e-7) if with_adv_scores
+                    else jnp.asarray(0.0))
         metrics = DefenderMetrics(loss, mean_clean, mean_adv,
                                   jnp.asarray(jnp.nan), jnp.asarray(jnp.nan))
         return DefenderState(params, new_stats, opt_state, state.step + 1,

@@ -18,7 +18,8 @@ from ..attack import artifacts
 from ..attack.train import get_victim_variables
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
-from ..parallel import make_mesh_for_batch, replicate, shard_batch
+from ..parallel import (is_main_process, local_batch_size,
+                        make_mesh_for_batch, replicate, shard_batch_auto)
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from .defender import PatchAttackDefender
@@ -34,7 +35,7 @@ def train(model_name: str = "efficientdet-lite4", *,
           steps_per_epoch: int | None = None,
           initial_weights: str | None = None, synthetic: bool = False,
           image_size=None, seed: int = 43, config_override=None,
-          bf16: bool = False):
+          bf16: bool = False, grad_accum: int = 1):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
@@ -59,7 +60,8 @@ def train(model_name: str = "efficientdet-lite4", *,
         scale = 0.4
 
     defender = PatchAttackDefender(config, det_vars, eval_patch=patch_np,
-                                   eval_scale=scale, learning_rate=lr)
+                                   eval_scale=scale, learning_rate=lr,
+                                   grad_accum=grad_accum)
     state = defender.init_state(jax.random.PRNGKey(seed))
     if initial_weights:
         # native pytree ckpt dir OR a reference antipatch.h5
@@ -81,24 +83,33 @@ def train(model_name: str = "efficientdet-lite4", *,
                          static_argnames=("with_adv_scores",))
     eval_step = jax.jit(defender.eval_step)
 
+    # multi-host input: each process loads a disjoint file shard at
+    # batch_size/process_count; shard_batch_auto assembles the slices into
+    # globally-sharded arrays (single-host: plain full-batch device_put)
+    n_proc = jax.process_count()
+    local_bs = local_batch_size(batch_size)
     if synthetic or img_dir is None:
         logger.info("using synthetic data")
-        train_iter = pipeline.synthetic_batches(batch_size, config.image_size,
-                                                seed=seed)
-        val_iter = pipeline.synthetic_batches(batch_size, config.image_size,
-                                              seed=seed + 1)
+        pseed = seed + 1000 * jax.process_index()
+        train_iter = pipeline.synthetic_batches(local_bs, config.image_size,
+                                                seed=pseed)
+        val_iter = pipeline.synthetic_batches(local_bs, config.image_size,
+                                              seed=pseed + 1)
         spe = steps_per_epoch or 50
         val_steps = 5
     else:
         parts = pipeline.partition(config, img_dir, label_dir,
                                    batch_size=batch_size, filter_data=True,
-                                   seed=seed)
-        train_iter = parts["train"]["source"].repeat_batches(batch_size)
-        val_iter = parts["val"]["source"].repeat_batches(batch_size)
+                                   seed=seed + jax.process_index())
+        if n_proc > 1:
+            parts["train"]["source"].shard(jax.process_index(), n_proc)
+            parts["val"]["source"].shard(jax.process_index(), n_proc)
+        train_iter = parts["train"]["source"].repeat_batches(local_bs)
+        val_iter = parts["val"]["source"].repeat_batches(local_bs)
         spe = steps_per_epoch or parts["train"]["length"]
         val_steps = parts["val"]["length"]
 
-    put = lambda b: shard_batch(mesh, b)
+    put = lambda b: shard_batch_auto(mesh, b)
     train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
     val_iter = pipeline.prefetch(val_iter, device_put_fn=put)
 
@@ -161,7 +172,7 @@ def train(model_name: str = "efficientdet-lite4", *,
             except Exception as e:  # viz must never kill training
                 logger.warning(f"violin viz failed: {e}")
 
-        if val_loss < best_val:
+        if val_loss < best_val and is_main_process():
             best_val = val_loss
             art_dir = os.path.join(save_dir,
                                    f"patch_{epoch:02d}_{val_loss:.4f}")
@@ -208,6 +219,10 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations for detector + U-Net (fp32 "
                         "params); fp32 is the default here")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each step's batch into this many sequential "
+                        "microbatches with one summed-gradient update "
+                        "(activation memory ~ batch/grad_accum)")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, eval_patch=args.eval_patch,
@@ -216,7 +231,7 @@ def main():
           steps_per_epoch=args.steps_per_epoch,
           initial_weights=args.initial_weights, synthetic=args.synthetic,
           image_size=args.image_size, bf16=args.bf16,
-          config_override=args.hparams)
+          config_override=args.hparams, grad_accum=args.grad_accum)
 
 
 if __name__ == "__main__":

@@ -188,6 +188,63 @@ def shard_batch(mesh: Mesh, batch, axis_name: Optional[str] = None):
     return jax.tree.map(put, batch)
 
 
+def shard_batch_local(mesh: Mesh, local_batch,
+                      axis_name: Optional[str] = None):
+    """Multi-host input sharding: each process feeds only ITS slice.
+
+    On a real multi-host deployment the hosts cannot (and must not) each
+    materialize the global batch — every process loads
+    `global_batch / process_count` examples (process-major order, i.e.
+    process p holds global rows [p*local_b, (p+1)*local_b)) and this
+    assembles them into globally-sharded `jax.Array`s via
+    `jax.make_array_from_process_local_data`, with the same leaf routing
+    as `shard_batch` (batch over the data axes; [B,H,W,C] image rows
+    additionally over 'spatial' when the mesh has that axis). The global
+    leading dim is inferred as local_b * process_count. Single-process
+    this is exactly `shard_batch` (tested equal); drivers switch to it
+    automatically via `shard_batch_auto`.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    img = None
+    if axis_name is None and SPATIAL_AXIS in mesh.axis_names:
+        img = image_sharding(mesh)
+        n_sp = mesh.shape[SPATIAL_AXIS]
+
+    def put(x):
+        x = np.asarray(x)
+        if img is not None and x.ndim == 4 and x.shape[1] % n_sp == 0:
+            return jax.make_array_from_process_local_data(img, x)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, local_batch)
+
+
+def shard_batch_auto(mesh: Mesh, batch, axis_name: Optional[str] = None):
+    """`shard_batch` on one process, `shard_batch_local` on many — the
+    device_put hook train drivers pass to the prefetcher so the same
+    driver code runs single-host (full batch per host) and multi-host
+    (per-process slice per host, see `local_batch_size`)."""
+    if jax.process_count() > 1:
+        return shard_batch_local(mesh, batch, axis_name)
+    return shard_batch(mesh, batch, axis_name)
+
+
+def is_main_process() -> bool:
+    """True on the process that should write shared artifacts (ckpts,
+    patch dirs) — multi-host drivers gate their saves on this so N hosts
+    sharing an output dir don't race on the same files."""
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-process share of a global batch (multi-host input loading)."""
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{n} processes")
+    return global_batch // n
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / attack state) across the mesh."""
     sharding = replicated_sharding(mesh)

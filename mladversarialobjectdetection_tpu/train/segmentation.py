@@ -29,7 +29,8 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..models.efficientdet import EfficientDetNet, spec_from_config
-from ..parallel import make_mesh_for_batch, replicate, shard_batch
+from ..parallel import (is_main_process, local_batch_size,
+                        make_mesh_for_batch, replicate, shard_batch_auto)
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, Throughput
 
@@ -171,11 +172,15 @@ def train(model_name: str = "efficientdet-d0", *, image_size: int = 128,
     eval_step = jax.jit(trainer.eval_step)
 
     mask_size = output_size(image_size, config.min_level)
+    # multi-host: per-process slice + globally-sharded assembly (see
+    # parallel.shard_batch_auto); single-host this is the plain device_put
+    local_bs = local_batch_size(batch_size)
+    pseed = seed + 1000 * jax.process_index()
     batches = pipeline.prefetch(
-        synthetic_seg_batches(batch_size, image_size, mask_size, seed=seed),
-        device_put_fn=lambda b: shard_batch(mesh, b))
-    val_batch = next(synthetic_seg_batches(batch_size, image_size, mask_size,
-                                           seed=seed + 1))
+        synthetic_seg_batches(local_bs, image_size, mask_size, seed=pseed),
+        device_put_fn=lambda b: shard_batch_auto(mesh, b))
+    val_batch = next(synthetic_seg_batches(local_bs, image_size, mask_size,
+                                           seed=pseed + 1))
 
     mlog = MetricLogger(os.path.join(model_dir, "logs")) if model_dir else None
     thr = Throughput()
@@ -195,7 +200,7 @@ def train(model_name: str = "efficientdet-d0", *, image_size: int = 128,
                 f"({thr.rate():.1f} img/s)")
             if mlog:
                 mlog.log(step, metrics, prefix="seg/")
-    if model_dir:
+    if model_dir and is_main_process():
         os.makedirs(model_dir, exist_ok=True)
         ckpt_io.save_pytree(
             os.path.join(model_dir, "segmentation"),

@@ -21,7 +21,8 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..data.tfrecord import DetectionTFRecordReader
-from ..parallel import make_mesh_for_batch, replicate, shard_batch
+from ..parallel import (is_main_process, local_batch_size,
+                        make_mesh_for_batch, replicate, shard_batch_auto)
 from ..utils.coco_metric import COCOEvaluator
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, Throughput
@@ -67,7 +68,8 @@ def train(model_name: str = "efficientdet-d0", *,
           eval_batches: int = 50, map_freq: int = 5, image_size=None,
           seed: int = 0, resume: bool = False, config_override=None,
           prune_sparsity: float | None = None, prune_begin: int = 0,
-          prune_end: int | None = None, spatial: int = 1):
+          prune_end: int | None = None, spatial: int = 1,
+          grad_accum: int = 1):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
@@ -103,7 +105,7 @@ def train(model_name: str = "efficientdet-d0", *,
     else:
         mesh = make_mesh_for_batch(batch_size)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
-                              bn_axis_name=None)
+                              bn_axis_name=None, grad_accum=grad_accum)
     state = trainer.init_state(jax.random.PRNGKey(seed))
     start_epoch = 0
     latest = os.path.join(model_dir, "state-latest.msgpack")
@@ -134,31 +136,38 @@ def train(model_name: str = "efficientdet-d0", *,
             ema = sparsity_lib.mask_like(params, s.ema_params)
             return s._replace(params=params, ema_params=ema)
 
+    # multi-host input: every process loads its disjoint 1/process_count
+    # slice of the data at batch_size/process_count and shard_batch_auto
+    # assembles the slices into globally-sharded arrays; single-host this
+    # is the plain full-batch device_put
+    n_proc = jax.process_count()
+    local_bs = local_batch_size(batch_size)
+    shard = (jax.process_index(), n_proc) if n_proc > 1 else None
     if train_pattern:
         reader = DetectionTFRecordReader(
             train_pattern, image_size=config.image_size,
             mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
-            max_instances=config.max_instances_per_image, seed=seed,
+            max_instances=config.max_instances_per_image,
+            seed=seed + jax.process_index(), shard=shard,
             autoaugment_policy=config.get("autoaugment_policy"))
-        batches = reader.batches(batch_size)
+        batches = reader.batches(local_bs)
     else:
         logger.warning("no --train-pattern: using synthetic batches")
         def synth():
-            import itertools
-            for img in pipeline.synthetic_batches(batch_size,
-                                                  config.image_size,
-                                                  seed=seed):
+            for img in pipeline.synthetic_batches(
+                    local_bs, config.image_size,
+                    seed=seed + 1000 * jax.process_index()):
                 g = config.max_instances_per_image
                 yield {"images": img,
                        "boxes": np.tile(np.array([[10, 10, 50, 50]],
                                                  np.float32),
-                                        (batch_size, g, 1)),
-                       "classes": np.zeros((batch_size, g), np.int32),
-                       "valid": np.pad(np.ones((batch_size, 1), bool),
+                                        (local_bs, g, 1)),
+                       "classes": np.zeros((local_bs, g), np.int32),
+                       "valid": np.pad(np.ones((local_bs, 1), bool),
                                        ((0, 0), (0, g - 1)))}
         batches = synth()
     batches = pipeline.prefetch(
-        batches, device_put_fn=lambda b: shard_batch(mesh, b))
+        batches, device_put_fn=lambda b: shard_batch_auto(mesh, b))
 
     os.makedirs(model_dir, exist_ok=True)
     mlog = MetricLogger(os.path.join(model_dir, "logs"))
@@ -184,21 +193,24 @@ def train(model_name: str = "efficientdet-d0", *,
                  {k: float(v) for k, v in metrics.items()}, prefix="train/")
         logger.info(f"epoch {epoch}: loss={float(metrics['loss']):.4f} "
                     f"{thr.rate():.1f} img/s")
-        ckpt_io.save_pytree(os.path.join(model_dir, f"ckpt-{epoch}"),
-                            trainer.eval_variables(state))
-        # full-state checkpoint for resume (incl. optimizer + EMA)
-        ckpt_io.save_state_bytes(
-            os.path.join(model_dir, "state-latest.msgpack"), state)
+        if is_main_process():  # one writer on multi-host shared dirs
+            ckpt_io.save_pytree(os.path.join(model_dir, f"ckpt-{epoch}"),
+                                trainer.eval_variables(state))
+            # full-state checkpoint for resume (incl. optimizer + EMA)
+            ckpt_io.save_state_bytes(
+                os.path.join(model_dir, "state-latest.msgpack"), state)
         if val_pattern and (epoch + 1) % map_freq == 0:
             # skip_crowd=False: crowds ride the batch as ignore regions
             # (COCOeval semantics), consistent with train/eval.py
+            # multi-host: each process scores its own val shard (mAP over
+            # eval_batches of the local slice; single-host = full set)
             val_reader = DetectionTFRecordReader(
                 val_pattern, image_size=config.image_size,
                 mean_rgb=config.mean_rgb, stddev_rgb=config.stddev_rgb,
                 max_instances=config.max_instances_per_image, shuffle=False,
-                skip_crowd=False)
+                skip_crowd=False, shard=shard)
             res = evaluate_map(trainer, state,
-                               val_reader.batches(batch_size), eval_batches)
+                               val_reader.batches(local_bs), eval_batches)
             mlog.log(int(state.step), res, prefix="eval/")
             logger.info(f"epoch {epoch}: {res}")
     mlog.close()
@@ -234,6 +246,11 @@ def main():
                         "(spatial model parallelism for the large "
                         "variants; must divide the device count and the "
                         "image height)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each step's batch into this many sequential "
+                        "microbatches, one mean-gradient update per step "
+                        "(activation memory ~ batch/grad_accum; BN stats "
+                        "are per-microbatch ghost batches)")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
@@ -241,7 +258,7 @@ def main():
           image_size=a.image_size, resume=a.resume,
           config_override=a.hparams, prune_sparsity=a.prune_sparsity,
           prune_begin=a.prune_begin, prune_end=a.prune_end,
-          spatial=a.spatial)
+          spatial=a.spatial, grad_accum=a.grad_accum)
 
 
 if __name__ == "__main__":

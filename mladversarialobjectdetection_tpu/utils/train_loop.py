@@ -53,7 +53,13 @@ class MetricLogger:
 
     def __init__(self, log_dir: str, use_tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
-        self.path = os.path.join(log_dir, "metrics.jsonl")
+        # multi-host: each process writes its own file (process 0 keeps
+        # the canonical name) so N hosts sharing a log dir never
+        # interleave lines in one JSONL
+        import jax
+        suffix = ("" if jax.process_index() == 0
+                  else f".p{jax.process_index()}")
+        self.path = os.path.join(log_dir, f"metrics{suffix}.jsonl")
         self._f = open(self.path, "a")
         self._tb = None
         if use_tensorboard:

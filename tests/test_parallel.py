@@ -352,6 +352,60 @@ def test_defender_step_on_mesh(tiny_detector, rand_images):
 
 
 @pytest.mark.slow
+def test_defender_step_on_spatial_mesh(tiny_detector, rand_images):
+    """Defender train step under spatial partitioning == single device —
+    completes the spatial-training story across all three trainers
+    (supervised + attack pinned above): the U-Net's encoder/decoder convs
+    and its BN batch stats run over row-sharded 640-style images with
+    GSPMD halo exchange + cross-spatial stat reductions, and the Masker's
+    window composites span row shards. Same two determinism hazards as
+    test_defender_step_on_mesh (SGD for gradient-linear comparison,
+    stubbed detector boxes)."""
+    import optax
+    from mladversarialobjectdetection_tpu.defense.defender import (
+        PatchAttackDefender)
+    from mladversarialobjectdetection_tpu.parallel import make_serve_mesh
+    cfg, spec, net, variables = tiny_detector
+    hw = cfg.image_size
+    rng = np.random.default_rng(7)
+    yx0 = rng.uniform(2, hw * 0.45, (8, 4, 2))
+    fixed_boxes = jnp.asarray(
+        np.concatenate([yx0, yx0 + rng.uniform(10, hw * 0.5, (8, 4, 2))], -1),
+        jnp.float32)
+    fixed_scores = jnp.full((8, 4), 0.9, jnp.float32)
+    fixed_valid = jnp.ones((8, 4), bool)
+
+    def fixed_odet(images, score_thresh=None, det_variables=None):
+        return fixed_boxes, fixed_scores, fixed_valid
+
+    defender = PatchAttackDefender(cfg, variables)
+    defender.odet_boxes = fixed_odet
+    defender.tx = optax.sgd(0.01)
+    state = defender.init_state(jax.random.PRNGKey(0))
+    images = jnp.concatenate([rand_images] * 4, axis=0)  # batch 8
+
+    st_ref, m_ref = jax.jit(defender.train_step)(state, images)
+
+    mesh = make_serve_mesh(2, 4)
+    sharded = PatchAttackDefender(cfg, replicate(mesh, variables))
+    sharded.odet_boxes = fixed_odet
+    sharded.tx = optax.sgd(0.01)
+    st = replicate(mesh, state)
+    imgs = shard_batch(mesh, images)
+    assert imgs.addressable_shards[0].data.shape[1] == hw // 4
+    st_out, m_out = jax.jit(sharded.train_step)(st, imgs)
+
+    for a, b in zip(jax.tree.leaves(st_out.params),
+                    jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # BN batch stats must be the GLOBAL values, not per-row-shard
+    for a, b in zip(jax.tree.leaves(st_out.batch_stats),
+                    jax.tree.leaves(st_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert float(m_out.loss) == pytest.approx(float(m_ref.loss), rel=1e-4)
+
+
+@pytest.mark.slow
 def test_supervised_step_on_mesh(tiny_detector):
     """SPMD supervised detector step == single-device step (train/train.py
     mesh strategy), including the anchor labeler + detection loss."""
