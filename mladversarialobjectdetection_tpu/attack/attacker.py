@@ -84,7 +84,8 @@ class PatchAttacker:
                  bn_axis_name: str | None = None,
                  use_histogram_match: bool = False,
                  window: int | None = None,
-                 eot_overrides: Dict[str, Any] | None = None):
+                 eot_overrides: Dict[str, Any] | None = None,
+                 grad_accum: int = 1):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
@@ -113,6 +114,17 @@ class PatchAttacker:
         # randomness-pinning hook the reference-parity tests use (same
         # pattern as defense.masker.apply_masker's eot_kwargs)
         self.eot_overrides = dict(eot_overrides or {})
+        # grad_accum > 1: train_step splits its batch into that many
+        # sequential microbatches (lax.scan) — clean pass, EOT compositor
+        # and patched fwd+bwd all run at microbatch size, then ONE adam
+        # update applies the SUMMED gradients. The attack loss is a sum
+        # over images, so summed micro-gradients ARE the full-batch
+        # gradient; the batch-independent TV term is weighted 1/k per
+        # microbatch so it enters the sum exactly once. The memory lever
+        # for attacking the 1024-1536px victims at reference batch sizes.
+        self.grad_accum = int(grad_accum)
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
         self._params_dict = config.as_dict()
 
     # -- state -------------------------------------------------------------
@@ -180,7 +192,7 @@ class PatchAttacker:
 
     # -- loss ------------------------------------------------------------
     def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key,
-                          det_variables=None):
+                          det_variables=None, tv_weight: float = 1e-5):
         patched, _ = eot.apply_patches(
             key, images, boxes, boxes_valid, patch, scale,
             tolerance=self.tolerance, window=self.window,
@@ -190,7 +202,7 @@ class PatchAttacker:
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
         scale_losses = (max_scores - scale) ** 2
         tv = eot.total_variation(patch)
-        loss = jnp.sum(max_scores ** 2 + scale_losses) + 1e-5 * tv
+        loss = jnp.sum(max_scores ** 2 + scale_losses) + tv_weight * tv
         aux = dict(max_scores=max_scores, scale_losses=scale_losses,
                    tv=tv, adv_boxes=adv_boxes, adv_masked=adv_masked)
         return loss, aux
@@ -219,6 +231,10 @@ class PatchAttacker:
         so the step cost stays that of the full two-pass program."""
         key, k_eot, k_next = jax.random.split(state.key, 3)
         del key
+        if self.grad_accum > 1:
+            return self._train_step_accum(state, images, k_eot, k_next,
+                                          with_asr, boxes_override,
+                                          det_variables)
         boxes, clean_scores, clean_valid = self.first_pass(images,
                                                            det_variables)
         if boxes_override is not None:
@@ -253,6 +269,95 @@ class PatchAttacker:
         new_state = AttackState(patch, scale, opt_state, state.step + 1,
                                 k_next)
         return new_state, metrics
+
+    def _train_step_accum(self, state: AttackState, images, k_eot, k_next,
+                          with_asr: bool, boxes_override, det_variables
+                          ) -> Tuple[AttackState, StepMetrics]:
+        """Gradient-accumulation train step (mirrors the k=1 body of
+        `train_step`): lax.scan over `grad_accum` microbatches, each with
+        its own fold_in'd EOT key, gradients SUMMED (the attack loss is a
+        sum over images; the TV term enters each microbatch at weight
+        1e-5/k so the summed loss/gradient equals the full batch's), one
+        adam update. ASR and score statistics accumulate as count/sum
+        pairs so the reported metrics match the full batch."""
+        k = self.grad_accum
+        b = images.shape[0]
+        if b % k != 0:
+            raise ValueError(f"batch {b} not divisible by grad_accum={k}")
+        mb = b // k
+        micro = images.reshape(k, mb, *images.shape[1:])
+        if boxes_override is not None:
+            ob, ov = boxes_override
+            ob = ob[:, :self.max_boxes]
+            ov = ov[:, :self.max_boxes]
+            ob = ob.reshape(k, mb, *ob.shape[1:])
+            ov = ov.reshape(k, mb, *ov.shape[1:])
+            xs = (jnp.arange(k), micro, ob, ov)
+        else:
+            xs = (jnp.arange(k), micro)
+        asr_thresh = 0.5  # calc_asr's default (attacker.py:238-263)
+
+        def body(carry, x):
+            gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv = carry
+            i, imgs = x[0], x[1]
+            ke = jax.random.fold_in(k_eot, i)
+            boxes, clean_scores, clean_valid = self.first_pass(imgs,
+                                                               det_variables)
+            if boxes_override is not None:
+                # same never-DCE'd clean-pass threading as the k=1 body
+                keep = jnp.minimum(jnp.sum(jnp.abs(boxes)), 0.0)
+                bx = jax.lax.stop_gradient(x[2] + keep)
+                bv = x[3]
+            else:
+                bx = jax.lax.stop_gradient(boxes[:, :self.max_boxes])
+                bv = clean_valid[:, :self.max_boxes]
+
+            def loss_fn(trainables):
+                scale, patch = trainables
+                return self._loss_from_images(patch, scale, imgs, bx, bv, ke,
+                                              det_variables,
+                                              tv_weight=1e-5 / k)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (state.scale, state.patch))
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            lsum = lsum + loss
+            sl_sum = sl_sum + jnp.sum(aux["scale_losses"])
+            s_sum = s_sum + jnp.sum(aux["max_scores"])
+            s_sq = s_sq + jnp.sum(aux["max_scores"] ** 2)
+            if with_asr:
+                _, adv_s, adv_v = self._nms(aux["adv_boxes"],
+                                            aux["adv_masked"])
+                n_clean = n_clean + jnp.sum(
+                    (clean_scores >= asr_thresh) & clean_valid
+                ).astype(jnp.float32)
+                n_adv = n_adv + jnp.sum(
+                    (adv_s >= asr_thresh) & adv_v).astype(jnp.float32)
+            return (gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv), None
+
+        zero = jnp.zeros((), jnp.float32)
+        zeros_g = jax.tree.map(jnp.zeros_like, (state.scale, state.patch))
+        (gsum, loss, sl_sum, s_sum, s_sq, n_clean, n_adv), _ = jax.lax.scan(
+            body, (zeros_g, zero, zero, zero, zero, zero, zero), xs)
+
+        updates, opt_state = self.tx.update(gsum, state.opt_state,
+                                            (state.scale, state.patch))
+        scale, patch = optax.apply_updates((state.scale, state.patch),
+                                           updates)
+        patch = jnp.clip(patch, -1.0, 1.0)
+        scale = jnp.clip(scale, 0.0, 1.0)
+
+        mean = s_sum / b
+        std = jnp.sqrt(jnp.maximum(s_sq / b - mean ** 2, 0.0))
+        asr = (1.0 - n_adv / (n_clean + 1e-7) if with_asr
+               else jnp.asarray(jnp.nan))
+        metrics = StepMetrics(
+            loss=loss, scale=scale, scale_loss=sl_sum,
+            tv_loss=eot.total_variation(state.patch),
+            mean_max_score=mean, std_max_score=std, asr=asr,
+            asr_to_scale=asr / (scale + 1e-7))
+        return AttackState(patch, scale, opt_state, state.step + 1,
+                           k_next), metrics
 
     def eval_step(self, state: AttackState, images: jnp.ndarray,
                   batch_idx: jnp.ndarray | int = 0,

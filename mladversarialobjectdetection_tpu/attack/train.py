@@ -26,8 +26,8 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..models.efficientdet import EfficientDetNet, spec_from_config
-from ..parallel import (is_main_process, local_batch_size,
-                        make_mesh_for_batch, replicate, shard_batch_auto)
+from ..parallel import (is_main_process, local_batch_size, make_train_mesh,
+                        replicate, shard_batch_auto)
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from . import artifacts
@@ -73,7 +73,8 @@ def train(model_name: str = "efficientdet-lite4", *,
           synthetic: bool = False, image_size=None, seed: int = 42,
           visualize_freq: int = 200, config_override=None,
           patch_size: int = 640, mixed_precision: bool = True,
-          pre_nms_topk: int = 256, window: int | None = 320):
+          pre_nms_topk: int = 256, window: int | None = 320,
+          grad_accum: int = 1, spatial: int = 1):
     config = config_lib.get_efficientdet_config(model_name)
     # attack-time NMS override (attacker_train.py:31). pre_nms_topk 256 is
     # the benched operating point (bench.py): with score_thresh .5 there are
@@ -89,7 +90,12 @@ def train(model_name: str = "efficientdet-lite4", *,
         config.update(config_override)
 
     det_vars = get_victim_variables(config, victim_ckpt)
-    mesh = make_mesh_for_batch(batch_size)
+    # --spatial N row-shards the victim's input images over a
+    # ('data','spatial') mesh (GSPMD halo-exchange convs) — the activation
+    # memory lever for attacking the 1024-1536px victims
+    hw = (config.image_size if isinstance(config.image_size, int)
+          else config.image_size[0])
+    mesh = make_train_mesh(batch_size, spatial, hw)
     n_dev = mesh.devices.size
     logger.info(f"mesh over {n_dev} device(s); global batch {batch_size}")
 
@@ -97,7 +103,8 @@ def train(model_name: str = "efficientdet-lite4", *,
     # patch side <= 226 px; see ops/eot.py geometry notes) and is the
     # benched operating point; pass --window 0 for the full default.
     attacker = PatchAttacker(config, det_vars, learning_rate=lr,
-                             patch_size=patch_size, window=window or None)
+                             patch_size=patch_size, window=window or None,
+                             grad_accum=grad_accum)
     key = jax.random.PRNGKey(seed)
     if initial_patch:
         patch_np, scale0 = artifacts.load_patch_dir(
@@ -248,6 +255,15 @@ def main():
                         "(reference tf2/train.py --hparams)")
     p.add_argument("--window", type=int, default=320,
                    help="static EOT composite window (0 -> model default)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each step's batch into this many sequential "
+                        "microbatches with one summed-gradient update "
+                        "(activation memory ~ batch/grad_accum)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each image's rows over this many chips "
+                        "(spatial model parallelism for the large "
+                        "victims; must divide the device count and the "
+                        "image height)")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, save_dir=args.save_dir,
@@ -256,7 +272,8 @@ def main():
           initial_patch=args.initial_patch, synthetic=args.synthetic,
           image_size=args.image_size, mixed_precision=not args.fp32,
           pre_nms_topk=args.pre_nms_topk, window=args.window,
-          config_override=args.hparams)
+          config_override=args.hparams, grad_accum=args.grad_accum,
+          spatial=args.spatial)
 
 
 if __name__ == "__main__":

@@ -18,8 +18,8 @@ from ..attack import artifacts
 from ..attack.train import get_victim_variables
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
-from ..parallel import (is_main_process, local_batch_size,
-                        make_mesh_for_batch, replicate, shard_batch_auto)
+from ..parallel import (is_main_process, local_batch_size, make_train_mesh,
+                        replicate, shard_batch_auto)
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from .defender import PatchAttackDefender
@@ -35,7 +35,7 @@ def train(model_name: str = "efficientdet-lite4", *,
           steps_per_epoch: int | None = None,
           initial_weights: str | None = None, synthetic: bool = False,
           image_size=None, seed: int = 43, config_override=None,
-          bf16: bool = False, grad_accum: int = 1):
+          bf16: bool = False, grad_accum: int = 1, spatial: int = 1):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
@@ -48,7 +48,12 @@ def train(model_name: str = "efficientdet-lite4", *,
         config.update(config_override)
 
     det_vars = get_victim_variables(config, victim_ckpt)
-    mesh = make_mesh_for_batch(batch_size)
+    # --spatial N row-shards the images over a ('data','spatial') mesh
+    # (U-Net + protege convs get GSPMD halo exchange; BN stats reduce
+    # cross-spatial) — activation memory lever for large image sizes
+    hw = (config.image_size if isinstance(config.image_size, int)
+          else config.image_size[0])
+    mesh = make_train_mesh(batch_size, spatial, hw)
 
     if eval_patch:
         patch_np, scale = artifacts.load_patch_dir(
@@ -223,6 +228,10 @@ def main():
                    help="split each step's batch into this many sequential "
                         "microbatches with one summed-gradient update "
                         "(activation memory ~ batch/grad_accum)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each image's rows over this many chips "
+                        "(spatial model parallelism; must divide the "
+                        "device count and the image height)")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, eval_patch=args.eval_patch,
@@ -231,7 +240,8 @@ def main():
           steps_per_epoch=args.steps_per_epoch,
           initial_weights=args.initial_weights, synthetic=args.synthetic,
           image_size=args.image_size, bf16=args.bf16,
-          config_override=args.hparams, grad_accum=args.grad_accum)
+          config_override=args.hparams, grad_accum=args.grad_accum,
+          spatial=args.spatial)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,31 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_train_mesh(batch_size: int, spatial: int = 1,
+                    image_h: Optional[int] = None) -> Mesh:
+    """Training mesh shared by all three train drivers: plain data-parallel
+    by default; with `spatial > 1`, a ('data','spatial') mesh whose
+    'spatial' axis row-shards the images (GSPMD halo-exchange convs +
+    cross-spatial BN collectives) — the per-chip activation-memory lever
+    for the 1024-1536px variants. Validates device/batch/height
+    divisibility with driver-friendly errors."""
+    if spatial <= 1:
+        return make_mesh_for_batch(batch_size)
+    n_dev = len(jax.devices())
+    if n_dev % spatial != 0:
+        raise ValueError(f"--spatial {spatial} must divide the "
+                         f"{n_dev} devices")
+    n_data = n_dev // spatial
+    if batch_size % n_data != 0:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"the data-axis size {n_data} "
+                         f"({n_dev} devices / spatial {spatial})")
+    if image_h is not None and image_h % spatial != 0:
+        raise ValueError(f"image height {image_h} must be divisible by "
+                         f"--spatial {spatial}")
+    return make_serve_mesh(n_data, spatial)
+
+
 def make_serve_mesh(n_data: int, n_spatial: int,
                     devices: Optional[Sequence] = None) -> Mesh:
     """2-D ('data', 'spatial') mesh for model-parallel serving.

@@ -21,8 +21,8 @@ from .. import config as config_lib
 from ..ckpt import io as ckpt_io
 from ..data import pipeline
 from ..data.tfrecord import DetectionTFRecordReader
-from ..parallel import (is_main_process, local_batch_size,
-                        make_mesh_for_batch, replicate, shard_batch_auto)
+from ..parallel import (is_main_process, local_batch_size, make_train_mesh,
+                        replicate, shard_batch_auto)
 from ..utils.coco_metric import COCOEvaluator
 from ..utils.log import get_logger
 from ..utils.train_loop import MetricLogger, Throughput
@@ -80,30 +80,14 @@ def train(model_name: str = "efficientdet-d0", *,
         # 'key=value,key=value' string / yaml path via Config.update
         config.update(config_override)
 
-    if spatial > 1:
-        # spatially-partitioned training: image rows shard over 'spatial'
-        # (GSPMD halo-exchange convs + cross-spatial BN collectives) — the
-        # memory lever for the 1024-1536px variants, where per-chip
-        # activation footprint, not batch, binds. shard_batch routes the
-        # image leaves onto the row sharding automatically.
-        from ..parallel import make_serve_mesh
-        n_dev = len(jax.devices())
-        if n_dev % spatial != 0:
-            raise ValueError(f"--spatial {spatial} must divide the "
-                             f"{n_dev} devices")
-        n_data = n_dev // spatial
-        if batch_size % n_data != 0:
-            raise ValueError(f"batch_size {batch_size} must be divisible "
-                             f"by the data-axis size {n_data} "
-                             f"({n_dev} devices / spatial {spatial})")
-        hw = config.image_size if isinstance(config.image_size, int) \
-            else config.image_size[0]
-        if hw % spatial != 0:
-            raise ValueError(f"image height {hw} must be divisible by "
-                             f"--spatial {spatial}")
-        mesh = make_serve_mesh(n_data, spatial)
-    else:
-        mesh = make_mesh_for_batch(batch_size)
+    # spatially-partitioned training (spatial > 1): image rows shard over
+    # 'spatial' (GSPMD halo-exchange convs + cross-spatial BN collectives)
+    # — the memory lever for the 1024-1536px variants, where per-chip
+    # activation footprint, not batch, binds. shard_batch routes the
+    # image leaves onto the row sharding automatically.
+    hw = (config.image_size if isinstance(config.image_size, int)
+          else config.image_size[0])
+    mesh = make_train_mesh(batch_size, spatial, hw)
     trainer = DetectorTrainer(config, steps_per_epoch=steps_per_epoch,
                               bn_axis_name=None, grad_accum=grad_accum)
     state = trainer.init_state(jax.random.PRNGKey(seed))

@@ -91,6 +91,75 @@ def test_supervised_accum_is_mean_of_micro_grads(tiny_cfg):
 
 
 @pytest.mark.slow
+def test_attack_accum_matches_full_batch(tiny_detector):
+    """Attack grad-accum: on a DUPLICATED batch with all EOT randomness
+    pinned (zero noise/brightness/rotation/placement jitter, mean print
+    transform) the loss is a pure sum over images plus the TV term — the
+    accumulated step (TV weighted 1/k per microbatch so it enters the sum
+    once) must equal the plain full-batch step exactly. Placement targets
+    go in via boxes_override (fixed boxes) so a random-init victim's NMS
+    tie-breaking can't discretely move the patches between the two step
+    forms; the clean pass still executes in both."""
+    import optax
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+
+    cfg, spec, net, det_vars = tiny_detector
+    images = _dup_batch(jax.random.PRNGKey(11), cfg)
+    hw = cfg.image_size
+    one = jnp.asarray([[[6.0, 6.0, 34.0, 30.0], [24.0, 28.0, 56.0, 60.0]]])
+    boxes = jnp.tile(one, (2, 1, 1))                       # [2, 2, 4]
+    valid = jnp.ones((2, 2), bool)
+    pinned = dict(noise_mag=0.0, brightness_mag=0.0, rotation_mag=0.0,
+                  print_jitter=False)
+
+    results = []
+    for k in (1, 2):
+        a = PatchAttacker(cfg, det_vars, patch_size=32, tolerance=0.0,
+                          eot_overrides=pinned, grad_accum=k)
+        a.tx = optax.sgd(0.05)  # linear in the gradient (see above)
+        st = a.init_state(jax.random.PRNGKey(1))
+        st2, m = jax.jit(a.train_step,
+                         static_argnames=("with_asr",))(
+            st, images, with_asr=True, boxes_override=(boxes, valid))
+        results.append((st, st2, m))
+
+    (st0, st_full, m_full), (_, st_acc, m_acc) = results
+    assert _tree_changed(st0.patch, st_full.patch)
+    _tree_close(st_full.patch, st_acc.patch)
+    np.testing.assert_allclose(float(st_full.scale), float(st_acc.scale),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(m_full.loss), float(m_acc.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_full.scale_loss),
+                               float(m_acc.scale_loss), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(m_full.tv_loss), float(m_acc.tv_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_full.mean_max_score),
+                               float(m_acc.mean_max_score), rtol=1e-4)
+    np.testing.assert_allclose(float(m_full.std_max_score),
+                               float(m_acc.std_max_score),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(float(m_full.asr), float(m_acc.asr),
+                               atol=1e-6)
+    assert int(st_acc.step) == 1
+
+
+@pytest.mark.slow
+def test_attack_accum_without_override_runs(tiny_detector, rand_images):
+    """The accum path's own first-pass box flow (no override): one jitted
+    step advances state and returns finite metrics."""
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    cfg, spec, net, det_vars = tiny_detector
+    a = PatchAttacker(cfg, det_vars, patch_size=32, grad_accum=2)
+    st = a.init_state(jax.random.PRNGKey(2))
+    st2, m = jax.jit(a.train_step, static_argnames=("with_asr",))(
+        st, jnp.concatenate([rand_images] * 2, axis=0), with_asr=False)
+    assert int(st2.step) == 1
+    assert np.isfinite(float(m.loss))
+    assert np.isnan(float(m.asr))
+
+
+@pytest.mark.slow
 def test_defender_accum_matches_full_batch(tiny_detector, monkeypatch):
     cfg, spec, net, det_vars = tiny_detector
     images = _dup_batch(jax.random.PRNGKey(5), cfg)
@@ -147,3 +216,10 @@ def test_accum_batch_divisibility_errors(tiny_cfg, tiny_detector):
         d.train_step(dst, images)
     with pytest.raises(ValueError, match="grad_accum"):
         DetectorTrainer(tiny_cfg, grad_accum=0)
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    a = PatchAttacker(cfg, det_vars, patch_size=32, grad_accum=2)
+    ast = a.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        a.train_step(ast, images)
+    with pytest.raises(ValueError, match="grad_accum"):
+        PatchAttacker(cfg, det_vars, grad_accum=0)
