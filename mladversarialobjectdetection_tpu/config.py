@@ -274,11 +274,6 @@ def default_detection_configs() -> Config:
     # TPU build specific
     h.data_format = "channels_last"
     h.max_boxes_per_image = 16  # static person-slot count (replaces ragged)
-    # frozen-backbone fused MBConv (ops/fused_mbconv.py): "none" (default;
-    # XLA wins on most lite4 stages — see the ops/fused_mbconv.py bench
-    # table), "pallas" (the fused eval kernel everywhere it applies), or
-    # "xla" (folded-BN composed implementation, numerics reference).
-    h.fused_backbone = "none"
     return h
 
 

@@ -61,11 +61,6 @@ def spec_from_config(config) -> DetSpec:
     # the detector's act_type overrides the backbone default
     # (efficientdet_keras.py:884-906 passes utils.activation_fn w/ config act)
     backbone = backbone._replace(act_type=config.act_type)
-    fused = config.get("fused_backbone", "none") or "none"
-    if fused == "auto":  # pallas where a TPU is attached, stock elsewhere
-        import jax
-        fused = "pallas" if jax.default_backend() == "tpu" else "none"
-    backbone = backbone._replace(fused=fused)
     return DetSpec(
         backbone=backbone,
         min_level=config.min_level,

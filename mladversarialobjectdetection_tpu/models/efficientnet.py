@@ -45,9 +45,6 @@ class BackboneSpec(NamedTuple):
     bn_momentum: float
     bn_epsilon: float
     survival_prob: Optional[float]
-    # eval-mode fused MBConv backend: "none" | "xla" | "pallas"
-    # (ops/fused_mbconv.py — keeps the 6x-expanded tensors in VMEM)
-    fused: str = "none"
 
 
 # (width_coefficient, depth_coefficient, resolution, dropout_rate) — parity
@@ -231,29 +228,6 @@ class MBConvBlock(nn.Module):
     def __call__(self, x, training: bool, survival_prob: Optional[float] = None):
         ba = self.args
         inputs = x
-
-        # Frozen eval-mode fused path (ops/fused_mbconv.py): BN folded into
-        # the convs, expand->depthwise->project in one pallas kernel. Only
-        # at apply time (params already exist) and never in training (the
-        # fused op is differentiable w.r.t. the input only). Import at call
-        # time to avoid a models<->ops import cycle, but ONLY on the fused
-        # path — a first import from inside a jit trace would run ops
-        # modules' import-time code under the trace.
-        if (self.spec.fused != "none" and not training
-                and not self.is_initializing()):
-            from ..ops import fused_mbconv as fm
-            if fm.fuseable(ba, self.spec.use_se, self.spec.act_type):
-                v = self.variables
-                fb = fm.fold_block_params(v["params"], v["batch_stats"],
-                                          self.spec.bn_epsilon)
-                residual = (ba.id_skip and ba.strides == (1, 1)
-                            and ba.input_filters == ba.output_filters
-                            and x.shape[-1] == ba.output_filters)
-                cd = self.dtype or x.dtype
-                return fm.mbconv_eval(x.astype(cd), fb,
-                                      act_type=self.spec.act_type,
-                                      residual=residual,
-                                      impl=self.spec.fused)
 
         bn = lambda name: BatchNorm(self.spec.bn_momentum, self.spec.bn_epsilon,
                                     self.bn_axis_name, self.dtype, name=name)

@@ -217,25 +217,6 @@ def _inside_region_masks(oy, ox, geom_i, w: int):
     return inside, region
 
 
-def _warp_window_pallas(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
-    """Pallas fused-warp variant: hat weights never touch HBM."""
-    from . import pallas_warp
-    p1s, p2s, radius = _warp_scalars(canvas.shape[0], oy, ox, geom_i)
-    sample = pallas_warp.warp_window(canvas, p1s, p2s, radius,
-                                     oy, ox, w)
-    inside, region = _inside_region_masks(oy, ox, geom_i, w)
-    return sample, inside, region
-
-
-def _warp_window_pallas2(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
-    """Pallas v2: channel-major FMA kernels (ops/pallas_warp2.py)."""
-    from . import pallas_warp2
-    p1s, p2s, radius = _warp_scalars(canvas.shape[0], oy, ox, geom_i)
-    sample = pallas_warp2.warp_window(canvas, p1s, p2s, radius, oy, ox, w)
-    inside, region = _inside_region_masks(oy, ox, geom_i, w)
-    return sample, inside, region
-
-
 def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
     """Sample the rotated+scaled canvas over a [w, w] window.
 
@@ -317,7 +298,7 @@ def _warp_window_matmul(canvas: jnp.ndarray, oy, ox, geom_i, w: int):
 def _composite_matmul_batch(images: jnp.ndarray, canvases: jnp.ndarray,
                             geom: PatchGeometry, keys: jax.Array, *,
                             noise_mag: float, brightness_mag: float,
-                            window: int, use_pallas: str | bool = False
+                            window: int
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequential windowed composite of K slots over a whole batch.
 
@@ -343,8 +324,7 @@ def _composite_matmul_batch(images: jnp.ndarray, canvases: jnp.ndarray,
     bright = jax.vmap(lambda kk: jax.random.uniform(
         kk, (k,), minval=-brightness_mag, maxval=brightness_mag))(k_bright)
 
-    warp = {False: _warp_window_matmul, "pallas": _warp_window_pallas,
-            "pallas2": _warp_window_pallas2}[use_pallas]
+    warp = _warp_window_matmul
 
     # remat policy: the enormous hat-weight tensors (pure functions of four
     # scalars) are regenerated in the backward pass instead of stored
@@ -577,15 +557,13 @@ def apply_patches(key: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                 images, boxes, boxes_valid, keys)
     canvases, geoms, k_comps = prep
 
-    if backend in ("matmul", "pallas", "pallas2"):
+    if backend == "matmul":
         p0 = min(canvas_res, canvases.shape[1])
         small = jax.vmap(lambda c: downsample_canvas(c, p0))(canvases)
         return _composite_matmul_batch(images, small, geoms, k_comps,
                                        noise_mag=noise_mag,
                                        brightness_mag=brightness_mag,
-                                       window=window,
-                                       use_pallas=(False if backend == "matmul"
-                                                   else backend))
+                                       window=window)
     return jax.vmap(functools.partial(_composite_gather,
                                       noise_mag=noise_mag,
                                       brightness_mag=brightness_mag))(

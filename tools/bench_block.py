@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from mladversarialobjectdetection_tpu.ops import fused_mbconv as fm
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "experiments"))
+import fused_mbconv as fm  # archived experiment (tools/experiments)
 
 
 def fenced(fn, *args, n=16):

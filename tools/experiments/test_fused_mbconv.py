@@ -11,7 +11,7 @@ import pytest
 
 from mladversarialobjectdetection_tpu.models.efficientnet import (
     BlockArgs, BackboneSpec, MBConvBlock)
-from mladversarialobjectdetection_tpu.ops import fused_mbconv as fm
+import fused_mbconv as fm  # sibling archived module
 
 
 def _spec(act="relu6"):

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mladversarialobjectdetection_tpu.ops import eot, pallas_warp
+import pallas_warp  # sibling archived module
+from mladversarialobjectdetection_tpu.ops import eot
 
 
 @pytest.fixture(autouse=True)
@@ -72,7 +73,7 @@ def test_pass_kernels_identity_transform():
 
 @pytest.fixture(autouse=True)
 def interpret_mode_v2():
-    from mladversarialobjectdetection_tpu.ops import pallas_warp2
+    import pallas_warp2
     old = pallas_warp2._INTERPRET
     pallas_warp2._INTERPRET = True
     yield
@@ -108,7 +109,7 @@ def test_pallas2_gradients_match():
 def test_pallas2_kernels_direct():
     """Direct kernel check vs the matmul warp at a non-pow2 window (tile
     picker path) and rotated geometry."""
-    from mladversarialobjectdetection_tpu.ops import pallas_warp2 as pw2
+    import pallas_warp2 as pw2
     p0, w = 96, 160
     rng = np.random.RandomState(0)
     canvas = jnp.asarray(rng.uniform(-1, 1, (p0, p0, 3)).astype(np.float32))
