@@ -106,6 +106,44 @@ def _select_topk(scores, topk: int, nms_cfg):
     return jax.lax.approx_max_k(scores, topk, recall_target=recall)
 
 
+def _pre_nms_select(params, cls_outputs: Sequence[jnp.ndarray],
+                    box_outputs: Sequence[jnp.ndarray]
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-k candidate selection BEFORE box decode.
+
+    Ordering parity with the reference's `max_nms_inputs` mode
+    (tf2/postprocess.py:88-116), which top-ks raw per-anchor scores and only
+    then decodes. Box decode is per-anchor elementwise, so selecting first
+    and decoding only the K winners is EXACTLY identical to the
+    decode-everything path (`pre_nms` + take_along_axis) — while skipping
+    the [B, A, 4] exp/mul decode and its fp32 HBM round-trip, which
+    dominates postprocess on the ~590k-anchor 1536px giants. Top-k runs on
+    the sigmoid scores (not raw logits) so saturated-score tie-breaking is
+    bit-identical to the previous decode-all path.
+
+    Returns (top_boxes [B,K,4] decoded, top_scores [B,K] sigmoid,
+    top_classes [B,K] int32, NOT class-offset).
+    """
+    anchors = Anchors(params["min_level"], params["max_level"],
+                      params["num_scales"], tuple(params["aspect_ratios"]),
+                      params["anchor_scale"], params["image_size"])
+    cls_merged, box_merged = merge_class_box_level_outputs(
+        params, cls_outputs, box_outputs)
+    classes = jnp.argmax(cls_merged, axis=-1).astype(jnp.int32)   # [B, A]
+    scores = jax.nn.sigmoid(jnp.max(cls_merged, axis=-1))          # [B, A]
+
+    nms_cfg = params["nms_configs"]
+    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
+    topk = min(int(get("pre_nms_topk") or 1024), scores.shape[1])
+
+    top_scores, top_idx = _select_topk(scores, topk, nms_cfg)     # [B, K]
+    top_enc = jnp.take_along_axis(box_merged, top_idx[..., None], axis=1)
+    anchor_boxes = jnp.asarray(anchors.boxes)                      # [A, 4]
+    top_boxes = decode_box_outputs(top_enc, anchor_boxes[top_idx])
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+    return top_boxes, top_scores, top_classes
+
+
 def nms_kwargs_from_config(nms_configs) -> dict:
     """Translate a config nms_configs block into nms_padded kwargs."""
     get = nms_configs.get if hasattr(nms_configs, "get") else nms_configs.__getitem__
@@ -125,16 +163,9 @@ def postprocess_global(params, cls_outputs, box_outputs,
     Parity with reference postprocess.py:375-406, with a static top-k
     candidate pre-selection (`nms_configs.pre_nms_topk`).
     """
-    boxes, scores, classes = pre_nms(params, list(cls_outputs), list(box_outputs))
+    top_boxes, top_scores, top_classes = _pre_nms_select(
+        params, list(cls_outputs), list(box_outputs))
     nms_cfg = params["nms_configs"]
-    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
-    topk = int(get("pre_nms_topk") or 1024)
-    topk = min(topk, scores.shape[1])
-
-    top_scores, top_idx = _select_topk(scores, topk, nms_cfg)   # [B, K]
-    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
-
     kw = nms_kwargs_from_config(nms_cfg)
     res = nms_ops.batched_nms_auto(top_boxes, top_scores, **kw)
     out_boxes = clip_boxes(res.boxes, params["image_size"])
@@ -158,14 +189,9 @@ def postprocess_per_class(params, cls_outputs, box_outputs,
     (cross-class IoU becomes 0), then shifted back — a single fixed-shape
     suppression loop regardless of how many classes are present.
     """
-    boxes, scores, classes = pre_nms(params, list(cls_outputs), list(box_outputs))
+    top_boxes, top_scores, top_classes = _pre_nms_select(
+        params, list(cls_outputs), list(box_outputs))
     nms_cfg = params["nms_configs"]
-    get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
-    topk = min(int(get("pre_nms_topk") or 1024), scores.shape[1])
-
-    top_scores, top_idx = _select_topk(scores, topk, nms_cfg)
-    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
 
     # class bands must not overlap even for pathological unclipped decoded
     # boxes, so the shift is derived from the actual candidate extent
@@ -225,20 +251,29 @@ def postprocess_combined(params, cls_outputs, box_outputs,
     method/sigma/iou are deliberately ignored, matching the reference's
     call (score_threshold only, iou fixed at the combined-NMS default .5).
     """
-    boxes, scores = pre_nms_multiclass(params, list(cls_outputs),
-                                       list(box_outputs))
-    b, a, c = scores.shape
+    # decode-after-select (see _pre_nms_select): top-k over the flattened
+    # (anchor, class) score matrix first, then decode only the K winning
+    # anchors' regressions — identical by construction, skips the
+    # [B, A, 4] all-anchor decode
+    anchors = Anchors(params["min_level"], params["max_level"],
+                      params["num_scales"], tuple(params["aspect_ratios"]),
+                      params["anchor_scale"], params["image_size"])
+    cls_merged, box_merged = merge_class_box_level_outputs(
+        params, list(cls_outputs), list(box_outputs))
+    b, a, c = cls_merged.shape
     nms_cfg = params["nms_configs"]
     get = nms_cfg.get if hasattr(nms_cfg, "get") else nms_cfg.__getitem__
     topk = min(int(get("pre_nms_topk") or 1024), a * c)
     max_out = int(get("max_output_size") or 100)
     score_thresh = get("score_thresh") or None  # None -> hard default -inf
 
-    flat = scores.reshape(b, a * c)
+    flat = jax.nn.sigmoid(cls_merged).reshape(b, a * c)
     top_scores, top_flat_idx = _select_topk(flat, topk, nms_cfg)  # [B, K]
     top_anchor = top_flat_idx // c
     top_classes = (top_flat_idx % c).astype(jnp.int32)
-    top_boxes = jnp.take_along_axis(boxes, top_anchor[..., None], axis=1)
+    top_enc = jnp.take_along_axis(box_merged, top_anchor[..., None], axis=1)
+    anchor_boxes = jnp.asarray(anchors.boxes)
+    top_boxes = decode_box_outputs(top_enc, anchor_boxes[top_anchor])
 
     offset = (jnp.max(top_boxes) - jnp.min(top_boxes) + 1.0).astype(
         top_boxes.dtype)
@@ -336,21 +371,24 @@ def tflite_detections_from_pre(params, box_enc, scores,
     cls_ids = jnp.argmax(scores, axis=-1).astype(jnp.int32)   # [B, A]
     max_scores = jnp.max(scores, axis=-1)                     # [B, A]
 
-    # decode box encodings against center-size anchors (scale factors 1.0)
-    ya, xa, ha, wa = (decoded_anchors[..., 0], decoded_anchors[..., 1],
-                      decoded_anchors[..., 2], decoded_anchors[..., 3])
-    ty, tx, th, tw = (box_enc[..., 0], box_enc[..., 1],
-                      box_enc[..., 2], box_enc[..., 3])
+    # decode-after-select (see _pre_nms_select): top-k first, then decode
+    # only the K winning anchors' encodings against their center-size
+    # anchor rows (scale factors 1.0) — per-anchor elementwise, so exactly
+    # identical to decoding all anchors first
+    topk = min(int(get("pre_nms_topk") or 1024), max_scores.shape[1])
+    top_scores, top_idx = _select_topk(max_scores, topk, nms_cfg)
+    top_enc = jnp.take_along_axis(box_enc, top_idx[..., None], axis=1)
+    top_anc = jnp.asarray(decoded_anchors)[top_idx]           # [B, K, 4]
+    ya, xa, ha, wa = (top_anc[..., 0], top_anc[..., 1],
+                      top_anc[..., 2], top_anc[..., 3])
+    ty, tx, th, tw = (top_enc[..., 0], top_enc[..., 1],
+                      top_enc[..., 2], top_enc[..., 3])
     ycenter = ty * ha + ya
     xcenter = tx * wa + xa
     hh = jnp.exp(th) * ha
     ww = jnp.exp(tw) * wa
-    dec_boxes = jnp.stack([ycenter - hh / 2, xcenter - ww / 2,
+    top_boxes = jnp.stack([ycenter - hh / 2, xcenter - ww / 2,
                            ycenter + hh / 2, xcenter + ww / 2], axis=-1)
-
-    topk = min(int(get("pre_nms_topk") or 1024), max_scores.shape[1])
-    top_scores, top_idx = _select_topk(max_scores, topk, nms_cfg)
-    top_boxes = jnp.take_along_axis(dec_boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(cls_ids, top_idx, axis=1)
 
     res = nms_ops.batched_nms_auto(top_boxes, top_scores, method="hard",

@@ -309,3 +309,95 @@ def test_approx_topk_candidate_selection():
                                        np.asarray(approx.scores), atol=1e-6)
             np.testing.assert_array_equal(np.asarray(exact.classes),
                                           np.asarray(approx.classes))
+
+
+def test_decode_after_select_matches_decode_all():
+    """Decode-after-select parity (reference tf2/postprocess.py:88-116
+    max_nms_inputs ordering): the shipped candidate selection decodes only
+    the top-k anchors' regressions; it must be EXACTLY the decode-all
+    (`pre_nms` / `pre_nms_multiclass`) path followed by gather — box decode
+    is per-anchor elementwise, so the reorder is identity. Pinned here for
+    max_reduce selection, the combined (anchor, class) flat selection, and
+    the TFLite fast-NMS path."""
+    from mladversarialobjectdetection_tpu.ops.anchors import (
+        Anchors, decode_box_outputs)
+    rng = np.random.RandomState(7)
+    params = {
+        "num_classes": 5, "min_level": 3, "max_level": 4, "num_scales": 2,
+        "aspect_ratios": [1.0, 2.0], "anchor_scale": 4.0, "image_size": 64,
+        "nms_configs": {"method": "hard", "iou_thresh": 0.5,
+                        "score_thresh": 0.0, "sigma": None,
+                        "max_output_size": 16, "pre_nms_topk": 48},
+    }
+    c = params["num_classes"]
+    cls_outs = [jnp.asarray(rng.randn(2, 8, 8, 4 * c) * 3, jnp.float32),
+                jnp.asarray(rng.randn(2, 4, 4, 4 * c) * 3, jnp.float32)]
+    box_outs = [jnp.asarray(rng.randn(2, 8, 8, 4 * 4) * 0.3, jnp.float32),
+                jnp.asarray(rng.randn(2, 4, 4, 4 * 4) * 0.3, jnp.float32)]
+
+    # 1) max_reduce selection (postprocess_global / per_class candidate set)
+    sel_boxes, sel_scores, sel_classes = postprocess._pre_nms_select(
+        params, cls_outs, box_outs)
+    boxes, scores, classes = postprocess.pre_nms(params, cls_outs, box_outs)
+    top_scores, top_idx = jax.lax.top_k(scores, 48)
+    np.testing.assert_array_equal(np.asarray(sel_scores),
+                                  np.asarray(top_scores))
+    np.testing.assert_array_equal(
+        np.asarray(sel_classes),
+        np.asarray(jnp.take_along_axis(classes, top_idx, axis=1)))
+    np.testing.assert_allclose(
+        np.asarray(sel_boxes),
+        np.asarray(jnp.take_along_axis(boxes, top_idx[..., None], axis=1)),
+        rtol=0, atol=0)
+
+    # 2) combined mode: flat (anchor, class) top-k, then decode K — must
+    # equal the decode-all recreation end to end
+    det = postprocess.postprocess_combined(params, cls_outs, box_outs)
+    all_boxes, all_scores = postprocess.pre_nms_multiclass(
+        params, cls_outs, box_outs)
+    b, a, _ = all_scores.shape
+    flat = all_scores.reshape(b, a * c)
+    r_scores, r_flat_idx = jax.lax.top_k(flat, 48)
+    r_anchor = r_flat_idx // c
+    r_classes = (r_flat_idx % c).astype(jnp.int32)
+    r_boxes = jnp.take_along_axis(all_boxes, r_anchor[..., None], axis=1)
+    from mladversarialobjectdetection_tpu.ops import nms as nms_ops
+    offset = (jnp.max(r_boxes) - jnp.min(r_boxes) + 1.0)
+    shifted = r_boxes + r_classes[..., None].astype(r_boxes.dtype) * offset
+    res = nms_ops.batched_nms_auto(shifted, r_scores, method="hard",
+                                   iou_thresh=0.5, score_thresh=None,
+                                   max_output_size=16)
+    rsel = jnp.take_along_axis(r_classes, res.indices, axis=1)
+    rref = res.boxes - (rsel[..., None].astype(res.boxes.dtype)
+                        * offset) * res.valid[..., None]
+    rref = postprocess.clip_boxes(rref * res.valid[..., None], 64)
+    np.testing.assert_allclose(np.asarray(det.boxes), np.asarray(rref),
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(det.scores),
+                                  np.asarray(res.scores))
+    np.testing.assert_array_equal(
+        np.asarray(det.classes),
+        np.asarray(((rsel + 1) * res.valid).astype(jnp.float32)))
+
+    # 3) TFLite fast-NMS path vs its decode-all recreation
+    det_tfl = postprocess.postprocess_tflite(params, cls_outs, box_outs)
+    box_enc, tscores, danchors = postprocess.tflite_pre_nms(
+        params, cls_outs, box_outs)
+    cls_ids = jnp.argmax(tscores, axis=-1).astype(jnp.int32)
+    max_scores = jnp.max(tscores, axis=-1)
+    ya, xa, ha, wa = (danchors[..., 0], danchors[..., 1],
+                      danchors[..., 2], danchors[..., 3])
+    ty, tx, th, tw = (box_enc[..., 0], box_enc[..., 1],
+                      box_enc[..., 2], box_enc[..., 3])
+    yc, xc = ty * ha + ya, tx * wa + xa
+    hh, ww = jnp.exp(th) * ha, jnp.exp(tw) * wa
+    dec = jnp.stack([yc - hh / 2, xc - ww / 2, yc + hh / 2, xc + ww / 2], -1)
+    t_scores, t_idx = jax.lax.top_k(max_scores, 48)
+    t_boxes = jnp.take_along_axis(dec, t_idx[..., None], axis=1)
+    tres = nms_ops.batched_nms_auto(t_boxes, t_scores, method="hard",
+                                    iou_thresh=0.5, score_thresh=None,
+                                    max_output_size=100)
+    np.testing.assert_allclose(np.asarray(det_tfl.boxes),
+                               np.asarray(tres.boxes), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(det_tfl.scores),
+                                  np.asarray(tres.scores))
