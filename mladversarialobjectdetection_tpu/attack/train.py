@@ -29,6 +29,7 @@ from ..models.efficientdet import EfficientDetNet, spec_from_config
 from ..parallel import (is_main_process, local_batch_size, make_train_mesh,
                         replicate, shard_batch_auto)
 from ..utils.log import get_logger
+from ..utils import train_loop as train_loop_lib
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from . import artifacts
 from .attacker import PatchAttacker
@@ -74,7 +75,7 @@ def train(model_name: str = "efficientdet-lite4", *,
           visualize_freq: int = 200, config_override=None,
           patch_size: int = 640, mixed_precision: bool = True,
           pre_nms_topk: int = 256, window: int | None = 320,
-          grad_accum: int = 1, spatial: int = 1):
+          grad_accum: int = 1, spatial: int = 1, resume: bool = False):
     config = config_lib.get_efficientdet_config(model_name)
     # attack-time NMS override (attacker_train.py:31). pre_nms_topk 256 is
     # the benched operating point (bench.py): with score_thresh .5 there are
@@ -113,6 +114,23 @@ def train(model_name: str = "efficientdet-lite4", *,
                                     initial_scale=scale0)
     else:
         state = attacker.init_state(key)
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
+    best_val_loss = float("inf")
+    aug_key = jax.random.PRNGKey(seed + 2)
+    start_epoch = 0
+    step = 0
+    latest = os.path.join(save_dir, "state-latest.msgpack")
+    if resume and os.path.exists(latest):
+        # full-state resume: patch/scale + adam moments + PRNG chain +
+        # plateau-LR counters + loop counters. --initial-patch resumes
+        # only patch+scale (the reference's lossy semantics,
+        # attacker.py:328-341); --resume reproduces the uninterrupted
+        # trajectory step-for-step
+        state, aug_key, start_epoch, step, best_val_loss = \
+            train_loop_lib.load_loop_state(latest, state, aug_key, plateau)
+        logger.info(f"resumed full state from {latest} "
+                    f"(epoch {start_epoch}, step {step})")
     state = replicate(mesh, state)
     det_vars = replicate(mesh, det_vars)
     attacker.det_variables = det_vars
@@ -132,6 +150,16 @@ def train(model_name: str = "efficientdet-lite4", *,
     # globally-sharded arrays (single-host: plain full-batch device_put)
     n_proc = jax.process_count()
     local_bs = local_batch_size(batch_size)
+    # resume fast-forward: the deterministic input streams are advanced
+    # to exactly where the uninterrupted run would be. Per elapsed epoch
+    # the val stream is consumed val_steps times plus once more on
+    # visualization epochs (the asr_curve batch).
+    def _viz_events(n_epochs, spe_):
+        if not visualize_freq or n_epochs <= 0:
+            return 0
+        period = max(1, visualize_freq // spe_)
+        return (n_epochs + period - 1) // period
+
     if synthetic or img_dir is None:
         logger.info("using synthetic data")
         pseed = seed + 1000 * jax.process_index()
@@ -141,6 +169,10 @@ def train(model_name: str = "efficientdet-lite4", *,
                                               seed=pseed + 1)
         spe = steps_per_epoch or 50
         val_steps = 5
+        if start_epoch:
+            pipeline.skip_batches(train_iter, start_epoch * spe)
+            pipeline.skip_batches(val_iter, start_epoch * val_steps
+                                  + _viz_events(start_epoch, spe))
     else:
         parts = pipeline.partition(config, img_dir, label_dir,
                                    batch_size=batch_size, filter_data=False,
@@ -148,10 +180,13 @@ def train(model_name: str = "efficientdet-lite4", *,
         if n_proc > 1:
             parts["train"]["source"].shard(jax.process_index(), n_proc)
             parts["val"]["source"].shard(jax.process_index(), n_proc)
-        train_iter = parts["train"]["source"].repeat_batches(local_bs)
-        val_iter = parts["val"]["source"].repeat_batches(local_bs)
         spe = steps_per_epoch or parts["train"]["length"]
         val_steps = parts["val"]["length"]
+        train_iter = parts["train"]["source"].repeat_batches(
+            local_bs, skip_batches=start_epoch * spe)
+        val_iter = parts["val"]["source"].repeat_batches(
+            local_bs, skip_batches=start_epoch * val_steps
+            + _viz_events(start_epoch, spe))
 
     put = lambda b: shard_batch_auto(mesh, b)
     train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
@@ -159,13 +194,9 @@ def train(model_name: str = "efficientdet-lite4", *,
 
     os.makedirs(save_dir, exist_ok=True)
     mlog = MetricLogger(os.path.join(save_dir, "logs"))
-    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
-    best_val_loss = float("inf")
     thr = Throughput()
-    aug_key = jax.random.PRNGKey(seed + 2)
 
-    step = 0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         thr.start()
         for _ in range(spe):
             batch = next(train_iter)
@@ -225,6 +256,11 @@ def train(model_name: str = "efficientdet-lite4", *,
                                          config.mean_rgb, config.stddev_rgb)
         new_opt = plateau.update(val["loss"], state.opt_state)
         state = state._replace(opt_state=new_opt)
+        if is_main_process():
+            # full-state kill-and-resume checkpoint (see --resume)
+            train_loop_lib.save_loop_state(
+                latest, state, epoch=epoch + 1, step=step,
+                best=best_val_loss, plateau=plateau, aug_key=aug_key)
     mlog.close()
     return state
 
@@ -264,6 +300,10 @@ def main():
                         "(spatial model parallelism for the large "
                         "victims; must divide the device count and the "
                         "image height)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the FULL state (patch + adam moments + "
+                        "PRNG + plateau-LR + data position) from "
+                        "save_dir/state-latest.msgpack")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, save_dir=args.save_dir,
@@ -273,7 +313,7 @@ def main():
           image_size=args.image_size, mixed_precision=not args.fp32,
           pre_nms_topk=args.pre_nms_topk, window=args.window,
           config_override=args.hparams, grad_accum=args.grad_accum,
-          spatial=args.spatial)
+          spatial=args.spatial, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -107,15 +107,17 @@ class ImageFolderSource:
                                  self.stddev_rgb)
         return out
 
-    def batches(self, batch_size: int, *, drop_remainder: bool = False
-                ) -> Iterator[np.ndarray]:
+    def batches(self, batch_size: int, *, drop_remainder: bool = False,
+                start_batch: int = 0) -> Iterator[np.ndarray]:
         """One epoch of [B, H, W, 3] float32 batches (short last batch is
-        padded by wrapping, matching fixed-shape device programs)."""
+        padded by wrapping, matching fixed-shape device programs).
+        `start_batch` skips the first batches of the epoch without loading
+        their images (resume fast-forward)."""
         order = np.arange(len(self.files))
         if self.shuffle:
             self.rng.shuffle(order)
         n = len(order)
-        for start in range(0, n, batch_size):
+        for start in range(start_batch * batch_size, n, batch_size):
             idxs = order[start:start + batch_size]
             if len(idxs) < batch_size:
                 if drop_remainder:
@@ -124,7 +126,13 @@ class ImageFolderSource:
                 idxs = np.concatenate([idxs, pad])
             yield np.stack([self[i] for i in idxs])
 
-    def repeat_batches(self, batch_size: int) -> Iterator[np.ndarray]:
+    def repeat_batches(self, batch_size: int, *, skip_batches: int = 0
+                       ) -> Iterator[np.ndarray]:
+        """Endless epochs of batches. `skip_batches` fast-forwards the
+        deterministic stream (resume): full epochs advance the shuffle RNG
+        exactly as an iterated epoch would — one shuffle of an equal-length
+        permutation — and the in-epoch remainder is skipped by index, so no
+        skipped image is ever read from disk."""
         if not self.files:
             # without this an empty source busy-loops forever: each pass
             # of batches() yields nothing and the consumer blocks on a
@@ -132,8 +140,16 @@ class ImageFolderSource:
             raise ValueError(
                 f"no images in {self.img_dir!r} (empty dataset, "
                 f"everything filtered out, or a too-small train split)")
+        per_epoch = -(-len(self.files) // batch_size)  # ceil (wrap-padded)
+        full, rem = divmod(skip_batches, per_epoch)
+        for _ in range(full):
+            if self.shuffle:
+                self.rng.shuffle(np.arange(len(self.files)))
+        first = True
         while True:
-            yield from self.batches(batch_size)
+            yield from self.batches(batch_size,
+                                    start_batch=rem if first else 0)
+            first = False
 
 
 def partition(config, img_dir: str, label_dir: Optional[str],
@@ -180,6 +196,17 @@ def augment_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     images = (images - mean) * factor + mean
     delta = jax.random.uniform(k_bri, (b, 1, 1, 1), minval=-0.2, maxval=0.2)
     return jnp.clip(images + delta, -1.0, 1.0)
+
+
+def skip_batches(iterator: Iterator[np.ndarray], n: int
+                 ) -> Iterator[np.ndarray]:
+    """Consume and discard the first n items (resume fast-forward for
+    generator sources like synthetic_batches, whose RNG state advances
+    only by drawing; ImageFolderSource has a no-IO fast path instead —
+    repeat_batches(skip_batches=...))."""
+    for _ in range(n):
+        next(iterator)
+    return iterator
 
 
 def prefetch(iterator: Iterator[np.ndarray], *, size: int = 2,

@@ -21,6 +21,7 @@ from ..data import pipeline
 from ..parallel import (is_main_process, local_batch_size, make_train_mesh,
                         replicate, shard_batch_auto)
 from ..utils.log import get_logger
+from ..utils import train_loop as train_loop_lib
 from ..utils.train_loop import MetricLogger, ReduceLROnPlateau, Throughput
 from .defender import PatchAttackDefender
 
@@ -35,7 +36,8 @@ def train(model_name: str = "efficientdet-lite4", *,
           steps_per_epoch: int | None = None,
           initial_weights: str | None = None, synthetic: bool = False,
           image_size=None, seed: int = 43, config_override=None,
-          bf16: bool = False, grad_accum: int = 1, spatial: int = 1):
+          bf16: bool = False, grad_accum: int = 1, spatial: int = 1,
+          resume: bool = False):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
@@ -77,6 +79,22 @@ def train(model_name: str = "efficientdet-lite4", *,
                               "batch_stats": state.batch_stats})
         state = state._replace(params=restored["params"],
                                batch_stats=restored["batch_stats"])
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
+    best_val = float("inf")
+    aug_key = jax.random.PRNGKey(seed + 2)
+    start_epoch = 0
+    step = 0
+    latest = os.path.join(save_dir, "state-latest.msgpack")
+    if resume and os.path.exists(latest):
+        # full-state resume: U-Net params/BN + adam moments + PRNG chain +
+        # plateau-LR counters + loop counters (--initial-weights restores
+        # weights only — the reference's lossy semantics); reproduces the
+        # uninterrupted trajectory step-for-step
+        state, aug_key, start_epoch, step, best_val = \
+            train_loop_lib.load_loop_state(latest, state, aug_key, plateau)
+        logger.info(f"resumed full state from {latest} "
+                    f"(epoch {start_epoch}, step {step})")
     state = replicate(mesh, state)
     det_vars = replicate(mesh, det_vars)
     defender.det_variables = det_vars
@@ -102,6 +120,11 @@ def train(model_name: str = "efficientdet-lite4", *,
                                               seed=pseed + 1)
         spe = steps_per_epoch or 50
         val_steps = 5
+        if start_epoch:
+            # resume fast-forward: advance the deterministic streams to
+            # where the uninterrupted run would be
+            pipeline.skip_batches(train_iter, start_epoch * spe)
+            pipeline.skip_batches(val_iter, start_epoch * val_steps)
     else:
         parts = pipeline.partition(config, img_dir, label_dir,
                                    batch_size=batch_size, filter_data=True,
@@ -109,10 +132,12 @@ def train(model_name: str = "efficientdet-lite4", *,
         if n_proc > 1:
             parts["train"]["source"].shard(jax.process_index(), n_proc)
             parts["val"]["source"].shard(jax.process_index(), n_proc)
-        train_iter = parts["train"]["source"].repeat_batches(local_bs)
-        val_iter = parts["val"]["source"].repeat_batches(local_bs)
         spe = steps_per_epoch or parts["train"]["length"]
         val_steps = parts["val"]["length"]
+        train_iter = parts["train"]["source"].repeat_batches(
+            local_bs, skip_batches=start_epoch * spe)
+        val_iter = parts["val"]["source"].repeat_batches(
+            local_bs, skip_batches=start_epoch * val_steps)
 
     put = lambda b: shard_batch_auto(mesh, b)
     train_iter = pipeline.prefetch(train_iter, device_put_fn=put)
@@ -120,12 +145,8 @@ def train(model_name: str = "efficientdet-lite4", *,
 
     os.makedirs(save_dir, exist_ok=True)
     mlog = MetricLogger(os.path.join(save_dir, "logs"))
-    plateau = ReduceLROnPlateau(factor=0.5, patience=50, min_lr=1e-4)
-    best_val = float("inf")
     thr = Throughput()
-    aug_key = jax.random.PRNGKey(seed + 2)
-    step = 0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         thr.start()
         for _ in range(spe):
             batch = next(train_iter)
@@ -196,6 +217,11 @@ def train(model_name: str = "efficientdet-lite4", *,
                 logger.warning(f"antipatch.h5 mirror not written: {e}")
         new_opt = plateau.update(val_loss, state.opt_state)
         state = state._replace(opt_state=new_opt)
+        if is_main_process():
+            # full-state kill-and-resume checkpoint (see --resume)
+            train_loop_lib.save_loop_state(
+                latest, state, epoch=epoch + 1, step=step,
+                best=best_val, plateau=plateau, aug_key=aug_key)
     mlog.close()
     return state
 
@@ -232,6 +258,10 @@ def main():
                    help="shard each image's rows over this many chips "
                         "(spatial model parallelism; must divide the "
                         "device count and the image height)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the FULL state (weights + adam moments + "
+                        "PRNG + plateau-LR + data position) from "
+                        "save_dir/state-latest.msgpack")
     args = p.parse_args()
     train(args.model, img_dir=args.img_dir, label_dir=args.label_dir,
           victim_ckpt=args.victim_ckpt, eval_patch=args.eval_patch,
@@ -241,7 +271,7 @@ def main():
           initial_weights=args.initial_weights, synthetic=args.synthetic,
           image_size=args.image_size, bf16=args.bf16,
           config_override=args.hparams, grad_accum=args.grad_accum,
-          spatial=args.spatial)
+          spatial=args.spatial, resume=args.resume)
 
 
 if __name__ == "__main__":

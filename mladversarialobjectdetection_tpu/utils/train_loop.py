@@ -48,6 +48,51 @@ class ReduceLROnPlateau:
         return opt_state
 
 
+def save_loop_state(path: str, state: Any, *, epoch: int, step: int,
+                    best: float, plateau: "ReduceLROnPlateau",
+                    aug_key) -> None:
+    """Full-state training checkpoint for kill-and-resume.
+
+    Persists the device state pytree (params/patch + OPTIMIZER moments +
+    step + PRNG chain) together with every host-side loop variable the
+    trajectory depends on: epoch/step counters, best-metric gate, the
+    plateau controller's best/wait counters (its current LR already lives
+    in the optax inject_hyperparams state inside `state`), and the
+    augmentation key. The reference's own resume is patch+scale only and
+    silently resets Adam moments (attacker.py:328-341); this one resumes
+    the exact uninterrupted trajectory (tested step-for-step)."""
+    import numpy as np
+
+    from ..ckpt import io as ckpt_io
+    payload = {"state": state, "aug_key": aug_key,
+               "loop": np.asarray([epoch, step], np.int64),
+               "best": np.asarray(best, np.float64),
+               "plateau": np.asarray([plateau.best, plateau.wait],
+                                     np.float64)}
+    ckpt_io.save_state_bytes(path, payload)
+
+
+def load_loop_state(path: str, state_template: Any, aug_key_template,
+                    plateau: "ReduceLROnPlateau"):
+    """Restore a save_loop_state checkpoint.
+
+    Mutates `plateau` in place; returns
+    (state, aug_key, start_epoch, step, best)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ckpt import io as ckpt_io
+    payload = {"state": state_template, "aug_key": aug_key_template,
+               "loop": np.zeros(2, np.int64),
+               "best": np.zeros((), np.float64),
+               "plateau": np.zeros(2, np.float64)}
+    p = ckpt_io.load_state_bytes(path, payload)
+    plateau.best = float(p["plateau"][0])
+    plateau.wait = int(p["plateau"][1])
+    return (p["state"], jnp.asarray(p["aug_key"]), int(p["loop"][0]),
+            int(p["loop"][1]), float(p["best"]))
+
+
 class MetricLogger:
     """JSONL metric log + optional TensorBoard (if tensorflow available)."""
 
