@@ -17,6 +17,7 @@ host-side numpy on fetched detections (never device time).
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional
 
 import numpy as np
@@ -165,6 +166,74 @@ def evaluate(model_name: str, val_file_pattern: str, *,
     return metrics
 
 
+def follow(model_name: str, val_file_pattern: str, model_dir: str, *,
+           min_interval: float = 180.0, idle_timeout: Optional[float] = None,
+           until_epoch: Optional[int] = None, archive: bool = True,
+           **eval_kw) -> dict:
+    """Continuous evaluation: watch `model_dir` for new `ckpt-{epoch}`
+    checkpoints, evaluate each as it appears, archive the best by AP.
+
+    Parity with the reference's continuous-eval mode
+    (/root/reference/automl/efficientdet/tf2/train.py:271-297:
+    tf.train.checkpoints_iterator with min_interval_secs=180, deletion
+    tolerance via the NotFoundError catch, utils.archive_ckpt on AP
+    improvement, termination at config.num_epochs). Deltas: epoch parsing
+    from the native `ckpt-{epoch}` naming; `idle_timeout` (seconds with no
+    new checkpoint before giving up) replaces the reference's
+    wait-forever, so eval jobs don't outlive dead trainers.
+
+    Returns {epoch: metrics} for every checkpoint evaluated.
+    """
+    import re
+    import shutil
+    import time
+
+    evaluated = set()
+    best_ap = float("-inf")
+    results: dict = {}
+    last_new = time.time()
+    while True:
+        found = []
+        if os.path.isdir(model_dir):
+            for name in os.listdir(model_dir):
+                m = re.fullmatch(r"ckpt-(\d+)", name)
+                if m and name not in evaluated:
+                    found.append((int(m.group(1)), name))
+        for epoch, name in sorted(found):
+            path = os.path.join(model_dir, name)
+            evaluated.add(name)
+            last_new = time.time()
+            logger.info(f"evaluating {path}")
+            try:
+                metrics = evaluate(model_name, val_file_pattern, ckpt=path,
+                                   **eval_kw)
+            except Exception:
+                if not os.path.exists(path):
+                    # the trainer may garbage-collect old checkpoints while
+                    # we read them (tf2/train.py:292-296 NotFoundError)
+                    logger.info(f"{path} deleted mid-eval, skipping")
+                    continue
+                raise
+            results[epoch] = metrics
+            logger.info(f"eval results for {path}: AP={metrics['AP']:.5f}")
+            if archive and metrics["AP"] > best_ap:
+                best_ap = metrics["AP"]
+                dst = os.path.join(model_dir, "archive")
+                if os.path.exists(path):  # may race with trainer GC
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.copytree(path, dst)
+                    with open(os.path.join(dst, "best_eval.txt"), "w") as f:
+                        f.write(f"{epoch} {metrics['AP']:.6f}\n")
+            if until_epoch is not None and epoch >= until_epoch:
+                logger.info(f"final epoch {epoch} reached; stopping")
+                return results
+        if idle_timeout is not None and time.time() - last_new > idle_timeout:
+            logger.info(f"no new checkpoint for {idle_timeout:.0f}s; "
+                        f"stopping")
+            return results
+        time.sleep(min_interval)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="COCO evaluation over TFRecords")
     p.add_argument("--model", default="efficientdet-d0")
@@ -184,7 +253,34 @@ def main(argv=None):
                    help="evaluate an exported artifact (.tflite flatbuffer,"
                         " SavedModel dir, or StableHLO file) instead of the"
                         " live model (eval_tflite.py analog)")
+    p.add_argument("--follow", default=None, metavar="MODEL_DIR",
+                   help="continuous eval: watch MODEL_DIR for new "
+                        "ckpt-{epoch} checkpoints and evaluate each "
+                        "(tf2/train.py:271-297 continuous-eval mode)")
+    p.add_argument("--min-interval", type=float, default=180.0,
+                   help="--follow poll interval seconds (reference "
+                        "checkpoints_iterator min_interval_secs)")
+    p.add_argument("--idle-timeout", type=float, default=None,
+                   help="--follow: stop after this many seconds without a "
+                        "new checkpoint (default: wait forever)")
+    p.add_argument("--until-epoch", type=int, default=None,
+                   help="--follow: stop once this epoch is evaluated "
+                        "(reference config.num_epochs termination)")
     args = p.parse_args(argv)
+    if args.follow:
+        results = follow(args.model, args.val_file_pattern, args.follow,
+                         min_interval=args.min_interval,
+                         idle_timeout=args.idle_timeout,
+                         until_epoch=args.until_epoch,
+                         batch_size=args.batch_size,
+                         eval_samples=args.eval_samples,
+                         hparams=args.hparams, image_size=args.image_size,
+                         score_thresh=args.score_thresh,
+                         per_class=args.per_class)
+        for epoch in sorted(results):
+            print(args.model, f"ckpt-{epoch}",
+                  {k: round(float(v), 5) for k, v in results[epoch].items()})
+        return
     metrics = evaluate(args.model, args.val_file_pattern, ckpt=args.ckpt,
                        batch_size=args.batch_size,
                        eval_samples=args.eval_samples, hparams=args.hparams,

@@ -150,3 +150,93 @@ def test_eval_cli_eval_samples_cap(tmp_path):
     with pytest.raises(ValueError, match="batch_size"):
         eval_cli.evaluate("efficientdet-lite0", path, batch_size=8,
                           hparams=TINY, eval_samples=4)
+
+
+@pytest.mark.slow
+def test_eval_follow_continuous(tmp_path):
+    """Continuous-eval watch mode (tf2/train.py:271-297 parity): a writer
+    thread produces ckpt-0 then ckpt-1 while follow() is already watching;
+    both get evaluated in order, the best is archived, and the loop
+    terminates at --until-epoch (deletion tolerance is pinned separately
+    below, deterministically)."""
+    import threading
+    import time
+
+    import jax
+
+    from mladversarialobjectdetection_tpu.ckpt import io as ckpt_io
+    from mladversarialobjectdetection_tpu.data import tfrecord as tfr
+    from mladversarialobjectdetection_tpu.train import eval as eval_cli
+    from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
+    from mladversarialobjectdetection_tpu import config as config_lib
+
+    val = str(tmp_path / "val.tfrecord")
+    tfr.write_fake_tfrecord(val, n=2, image_hw=(64, 64))
+    model_dir = tmp_path / "mdir"
+    model_dir.mkdir()
+
+    cfg = config_lib.get_efficientdet_config("efficientdet-lite0")
+    cfg.override(TINY)
+    trainer = DetectorTrainer(cfg, steps_per_epoch=10)
+    variables = trainer.eval_variables(
+        trainer.init_state(jax.random.PRNGKey(0)))
+
+    def writer():
+        time.sleep(0.5)
+        ckpt_io.save_pytree(str(model_dir / "ckpt-0"), variables)
+        time.sleep(1.5)
+        ckpt_io.save_pytree(str(model_dir / "ckpt-1"), variables)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    results = eval_cli.follow(
+        "efficientdet-lite0", val, str(model_dir), min_interval=0.1,
+        idle_timeout=60.0, until_epoch=1, batch_size=2, hparams=TINY)
+    t.join()
+    assert sorted(results) == [0, 1]
+    for m in results.values():
+        assert "AP" in m
+    archive = model_dir / "archive"
+    assert archive.is_dir()
+    assert (archive / "best_eval.txt").exists()
+
+
+def test_eval_follow_tolerates_deleted_checkpoint(tmp_path, monkeypatch):
+    """A checkpoint the trainer garbage-collects mid-eval is skipped, not
+    fatal (tf2/train.py:292-296 NotFoundError tolerance). Deterministic:
+    the eval stub deletes ckpt-0 under its own feet and raises, like a
+    reader hitting vanished files."""
+    import shutil
+
+    from mladversarialobjectdetection_tpu.train import eval as eval_cli
+
+    model_dir = tmp_path / "mdir"
+    model_dir.mkdir()
+    (model_dir / "ckpt-0").mkdir()
+    (model_dir / "ckpt-1").mkdir()
+
+    def fake_evaluate(model, pattern, *, ckpt=None, **kw):
+        if ckpt.endswith("ckpt-0"):
+            shutil.rmtree(ckpt)
+            raise FileNotFoundError(ckpt)
+        return {"AP": 0.5}
+
+    monkeypatch.setattr(eval_cli, "evaluate", fake_evaluate)
+    results = eval_cli.follow(
+        "efficientdet-lite0", str(tmp_path / "val-*.tfrecord"),
+        str(model_dir), min_interval=0.05, idle_timeout=2.0, until_epoch=1)
+    assert sorted(results) == [1]
+    assert (model_dir / "archive" / "best_eval.txt").exists()
+
+
+def test_eval_follow_idle_timeout_empty_dir(tmp_path):
+    """follow() on a dir that never produces checkpoints returns empty
+    after idle_timeout instead of hanging forever."""
+    from mladversarialobjectdetection_tpu.train import eval as eval_cli
+    model_dir = tmp_path / "empty"
+    model_dir.mkdir()
+    results = eval_cli.follow(
+        "efficientdet-lite0", str(tmp_path / "none-*.tfrecord"),
+        str(model_dir), min_interval=0.05, idle_timeout=0.3, batch_size=2,
+        hparams=TINY)
+    assert results == {}
