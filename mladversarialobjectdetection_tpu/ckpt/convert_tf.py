@@ -28,20 +28,58 @@ from typing import Callable, Dict
 import numpy as np
 
 
+def extract_ckpt_tarball(path: str) -> str:
+    """Extract a checkpoint tarball next to itself (once, idempotent) and
+    return the directory holding the checkpoint files.
+
+    This is the local-artifact half of the reference's download-and-untar
+    flow (util.py:76-88: GCS `.tar.gz` -> `tarfile.extractall`): a
+    pre-downloaded `efficientdet-lite4.tgz` passed as `--victim-ckpt`
+    works with zero network access. GCS release tarballs wrap the
+    checkpoint in a single `<model-name>/` directory; that wrapper is
+    resolved here so callers always get the dir with `checkpoint`/`.index`
+    files in it.
+    """
+    import os
+    import tarfile
+
+    dest = path + ".extracted"
+    if not os.path.isdir(dest):
+        tmp = dest + f".tmp{os.getpid()}"
+        with tarfile.open(path) as tar:
+            tar.extractall(tmp, filter="data")
+        try:
+            os.replace(tmp, dest)  # atomic: concurrent extractors race safely
+        except OSError:
+            import shutil
+            if os.path.isdir(dest):  # somebody else won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    entries = sorted(os.listdir(dest))
+    if len(entries) == 1 and os.path.isdir(os.path.join(dest, entries[0])):
+        return os.path.join(dest, entries[0])
+    return dest
+
+
 def find_tf_checkpoint(path: str):
     """Return the TF checkpoint prefix if `path` points at a TF1
     name-based checkpoint, else None.
 
     Accepts: a checkpoint prefix (`.../model` with `model.index` beside
-    it), or a directory containing either a `checkpoint` state file
-    (reference GCS tarball layout, util.py:76-88) or `*.index` files.
-    Lets the drivers take the reference's downloaded checkpoints
+    it), a directory containing either a `checkpoint` state file
+    (reference GCS tarball layout, util.py:76-88) or `*.index` files, or
+    a checkpoint **tarball** (`.tgz`/`.tar.gz`/`.tar` — the exact
+    artifact the reference downloads; extracted on first use beside the
+    file). Lets the drivers take the reference's downloaded checkpoints
     directly (auto-converting on load) without a separate conversion
     run. No TF import needed for the detection itself.
     """
     import glob
     import os
 
+    if os.path.isfile(path) and path.endswith((".tgz", ".tar.gz", ".tar")):
+        return find_tf_checkpoint(extract_ckpt_tarball(path))
     if os.path.isfile(path + ".index"):
         return path
     if os.path.isdir(path):

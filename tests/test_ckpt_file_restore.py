@@ -286,6 +286,18 @@ def test_find_tf_checkpoint_detection(tmp_path):
     assert find_tf_checkpoint(str(n)) is None
     assert find_tf_checkpoint(str(tmp_path / "missing")) is None
 
+    # checkpoint tarball with a wrapping model dir (the exact layout of
+    # the GCS release artifacts the reference downloads, util.py:76-88)
+    import tarfile
+    tgz = tmp_path / "efficientdet-fake.tgz"
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(str(d), arcname="efficientdet-fake")
+    got = find_tf_checkpoint(str(tgz))
+    assert got is not None and got.endswith("model.ckpt-7")
+    assert os.path.isfile(got + ".index")
+    # idempotent: second resolve reuses the extraction
+    assert find_tf_checkpoint(str(tgz)) == got
+
 
 @pytest.mark.slow
 def test_detector_loads_tf_checkpoint_directly(lite0_fixture):
@@ -317,6 +329,62 @@ def test_detector_loads_tf_checkpoint_directly(lite0_fixture):
     flat_e = jax.tree_util.tree_leaves_with_path(expected)
     assert len(flat_a) == len(flat_e)
     for (pa, a), (pe, e) in zip(flat_a, flat_e):
+        assert pa == pe
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
+                                      err_msg=str(pa))
+
+
+@pytest.mark.slow
+def test_victim_from_local_tarball_end_to_end(lite0_fixture, tmp_path):
+    """A pre-downloaded checkpoint tarball (the exact artifact the
+    reference fetches from cloud-tpu-checkpoints, util.py:76-88, with the
+    wrapping model dir and TF1+EMA variables) drives BOTH consumers with
+    zero network access: `--victim-ckpt foo.tgz` (attack driver's
+    get_victim_variables) and `Detector(ckpt_path=foo.tgz)`. Variables
+    must equal the explicit load+convert path."""
+    import tarfile
+
+    import jax
+    from mladversarialobjectdetection_tpu.attack.train import (
+        get_victim_variables)
+    from mladversarialobjectdetection_tpu.ckpt import convert_tf
+    from mladversarialobjectdetection_tpu.inference.detector import Detector
+
+    _ref_model, prefix = lite0_fixture
+    ckpt_dir = os.path.dirname(prefix)
+    # the GCS layout: <model>.tgz containing one <model>/ dir with the
+    # checkpoint files and a `checkpoint` state file
+    state = os.path.join(ckpt_dir, "checkpoint")
+    had_state = os.path.exists(state)
+    if not had_state:
+        with open(state, "w") as f:
+            f.write(f'model_checkpoint_path: '
+                    f'"{os.path.basename(prefix)}"\n')
+    tgz = str(tmp_path / "efficientdet-lite0.tgz")
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(ckpt_dir, arcname="efficientdet-lite0")
+    if not had_state:
+        os.remove(state)
+
+    params = {"image_size": 64, "fpn_cell_repeats": 2,
+              "box_class_repeats": 2}
+    det = Detector(model_name="efficientdet-lite0", params=params,
+                   ckpt_path=tgz)
+    expected = convert_tf.convert_tf_weights(
+        convert_tf.load_tf_checkpoint(prefix), det.config, det.spec,
+        jax.tree.map(np.zeros_like, det.variables), prefer_ema=True)
+    for (pa, a), (pe, e) in zip(
+            jax.tree_util.tree_leaves_with_path(det.variables),
+            jax.tree_util.tree_leaves_with_path(expected)):
+        assert pa == pe
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
+                                      err_msg=str(pa))
+
+    cfg = _our_cfg("efficientdet-lite0")
+    vict = get_victim_variables(cfg, tgz)
+    for (pa, a), (pe, e) in zip(
+            jax.tree_util.tree_leaves_with_path(vict),
+            jax.tree_util.tree_leaves_with_path(expected)):
         assert pa == pe
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
                                       err_msg=str(pa))
