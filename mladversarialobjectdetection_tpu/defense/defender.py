@@ -59,14 +59,24 @@ class PatchAttackDefender:
 
     def __init__(self, config, det_variables, *, eval_patch=None,
                  eval_scale: float = 0.4, learning_rate: float = 1e-2,
-                 n_filters: int = 8, grad_accum: int = 1):
+                 n_filters: int = 8, grad_accum: int = 1,
+                 packed: bool = False):
         self.config = config
         self.spec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec)
         self.det_variables = det_variables
         unet_dtype = (jnp.bfloat16 if config.get("mixed_precision")
                       else None)
-        self.unet = PatchNeutralizer(n_filters=n_filters, dtype=unet_dtype)
+        # packed=True: same U-Net, space-to-depth lane-packed layout for
+        # the full-resolution stages (models/unet_packed.py) — identical
+        # variable pytree, so checkpoints interop with the unpacked module
+        if packed:
+            from ..models.unet_packed import PackedPatchNeutralizer
+            self.unet = PackedPatchNeutralizer(n_filters=n_filters,
+                                               dtype=unet_dtype)
+        else:
+            self.unet = PatchNeutralizer(n_filters=n_filters,
+                                         dtype=unet_dtype)
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate)
         self.max_boxes = int(config.get("max_boxes_per_image", 16) or 16)

@@ -37,7 +37,7 @@ def train(model_name: str = "efficientdet-lite4", *,
           initial_weights: str | None = None, synthetic: bool = False,
           image_size=None, seed: int = 43, config_override=None,
           bf16: bool = False, grad_accum: int = 1, spatial: int = 1,
-          resume: bool = False):
+          resume: bool = False, packed: bool = False):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
@@ -68,7 +68,7 @@ def train(model_name: str = "efficientdet-lite4", *,
 
     defender = PatchAttackDefender(config, det_vars, eval_patch=patch_np,
                                    eval_scale=scale, learning_rate=lr,
-                                   grad_accum=grad_accum)
+                                   grad_accum=grad_accum, packed=packed)
     state = defender.init_state(jax.random.PRNGKey(seed))
     if initial_weights:
         # native pytree ckpt dir OR a reference antipatch.h5
@@ -258,6 +258,10 @@ def main():
                    help="shard each image's rows over this many chips "
                         "(spatial model parallelism; must divide the "
                         "device count and the image height)")
+    p.add_argument("--packed", action="store_true",
+                   help="space-to-depth lane-packed U-Net layout "
+                        "(models/unet_packed.py) — same model/pytree, "
+                        "TPU-native memory layout for the 640px stages")
     p.add_argument("--resume", action="store_true",
                    help="resume the FULL state (weights + adam moments + "
                         "PRNG + plateau-LR + data position) from "
@@ -271,7 +275,7 @@ def main():
           initial_weights=args.initial_weights, synthetic=args.synthetic,
           image_size=args.image_size, bf16=args.bf16,
           config_override=args.hparams, grad_accum=args.grad_accum,
-          spatial=args.spatial, resume=args.resume)
+          spatial=args.spatial, resume=args.resume, packed=args.packed)
 
 
 if __name__ == "__main__":

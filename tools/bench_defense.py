@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(model="efficientdet-lite4", batch=24, iters=10):
+def main(model="efficientdet-lite4", batch=24, iters=10, packed=False):
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.defense.defender import (
         PatchAttackDefender)
@@ -38,7 +38,7 @@ def main(model="efficientdet-lite4", batch=24, iters=10):
         {"params": jax.random.PRNGKey(0)}, x1, training=False)
     float(jax.tree.leaves(variables["params"])[0].sum())
 
-    defender = PatchAttackDefender(config, variables)
+    defender = PatchAttackDefender(config, variables, packed=packed)
     state = defender.init_state(jax.random.PRNGKey(1))
     images = jax.random.uniform(jax.random.PRNGKey(2),
                                 (batch, *spec.image_size, 3),
@@ -58,7 +58,8 @@ def main(model="efficientdet-lite4", batch=24, iters=10):
         state, m = step(state, images)
     fence(state)
     dt = (time.perf_counter() - t0) / iters
-    print(f"defender train b{batch}: {dt*1e3:.1f} ms/step, "
+    tag = " packed" if packed else ""
+    print(f"defender train{tag} b{batch}: {dt*1e3:.1f} ms/step, "
           f"{batch/dt:.1f} img/s/chip", flush=True)
 
 
@@ -66,8 +67,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--model", default="efficientdet-lite4")
+    p.add_argument("--packed", action="store_true",
+                   help="space-to-depth lane-packed U-Net (models/unet_packed.py)")
     a = p.parse_args()
     from mladversarialobjectdetection_tpu.utils.debug import (
         enable_compilation_cache)
     enable_compilation_cache()
-    main(a.model, a.batch)
+    main(a.model, a.batch, packed=a.packed)
