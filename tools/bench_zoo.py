@@ -147,14 +147,11 @@ def main():
             continue
         b1 = r["batches"].get(1) or r["batches"].get("1")
         b8 = r["batches"].get(8) or r["batches"].get("8")
-        roof = b8.get("pct_of_roofline")
+        cell = lambda b, k, f: (f % b[k]) if b and b.get(k) is not None else "—"
         print(f"| {m} | {r['image_size']} | {r['params_m']:.1f}M "
-              f"| {b1['ms']:.2f} | {b1['fps']:.0f} "
-              f"| {b8['ms']:.2f} | {b8['fps']:.0f} "
-              f"| {roof:.0f}% |" if roof is not None else
-              f"| {m} | {r['image_size']} | {r['params_m']:.1f}M "
-              f"| {b1['ms']:.2f} | {b1['fps']:.0f} "
-              f"| {b8['ms']:.2f} | {b8['fps']:.0f} | — |")
+              f"| {cell(b1, 'ms', '%.2f')} | {cell(b1, 'fps', '%.0f')} "
+              f"| {cell(b8, 'ms', '%.2f')} | {cell(b8, 'fps', '%.0f')} "
+              f"| {cell(b8, 'pct_of_roofline', '%.0f%%')} |")
 
 
 if __name__ == "__main__":
