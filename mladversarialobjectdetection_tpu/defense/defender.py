@@ -67,13 +67,17 @@ class PatchAttackDefender:
         self.det_variables = det_variables
         unet_dtype = (jnp.bfloat16 if config.get("mixed_precision")
                       else None)
-        # packed=True: same U-Net, space-to-depth lane-packed layout for
-        # the full-resolution stages (models/unet_packed.py) — identical
-        # variable pytree, so checkpoints interop with the unpacked module
+        # packed: same U-Net, space-to-depth lane-packed layout for the
+        # high-resolution stages (models/unet_packed.py) — identical
+        # variable pytree, so checkpoints interop with the unpacked
+        # module. True -> packing depth 1 (the 640px stages); 2 or 3
+        # pack the 320px / 160px stages too (see PackedPatchNeutralizer).
         if packed:
             from ..models.unet_packed import PackedPatchNeutralizer
+            levels = 1 if packed is True else int(packed)
             self.unet = PackedPatchNeutralizer(n_filters=n_filters,
-                                               dtype=unet_dtype)
+                                               dtype=unet_dtype,
+                                               packed_levels=levels)
         else:
             self.unet = PatchNeutralizer(n_filters=n_filters,
                                          dtype=unet_dtype)

@@ -37,7 +37,7 @@ def train(model_name: str = "efficientdet-lite4", *,
           initial_weights: str | None = None, synthetic: bool = False,
           image_size=None, seed: int = 43, config_override=None,
           bf16: bool = False, grad_accum: int = 1, spatial: int = 1,
-          resume: bool = False, packed: bool = False):
+          resume: bool = False, packed: int = 0):
     config = config_lib.get_efficientdet_config(model_name)
     config.nms_configs.update({"iou_thresh": 0.5, "score_thresh": 0.5})
     if image_size is not None:
@@ -258,10 +258,11 @@ def main():
                    help="shard each image's rows over this many chips "
                         "(spatial model parallelism; must divide the "
                         "device count and the image height)")
-    p.add_argument("--packed", action="store_true",
+    p.add_argument("--packed", type=int, nargs="?", const=1, default=0,
                    help="space-to-depth lane-packed U-Net layout "
                         "(models/unet_packed.py) — same model/pytree, "
-                        "TPU-native memory layout for the 640px stages")
+                        "TPU-native memory layout; optional value = "
+                        "packing depth 1-3 (640/320/160px stages)")
     p.add_argument("--resume", action="store_true",
                    help="resume the FULL state (weights + adam moments + "
                         "PRNG + plateau-LR + data position) from "

@@ -326,47 +326,72 @@ class _PackedDeconvBlock(nn.Module):
 
 
 class PackedPatchNeutralizer(nn.Module):
-    """PatchNeutralizer with the full-resolution stages space-to-depth
-    packed (encoder conv0, decoder deconv3, output head). Identical
-    variable pytree; opt-in via PatchAttackDefender(packed=True).
+    """PatchNeutralizer with the high-resolution stages space-to-depth
+    packed. Identical variable pytree; opt-in via
+    PatchAttackDefender(packed=True).
 
-    Inner stages (conv1..conv4, deconv0..deconv2) reuse the unpacked
-    modules unchanged — at >=16 channels and <=320px they carry a smaller
-    share of the padding tax (packing them is a further, separately
-    benchable step).
+    `packed_levels` controls how deep the packing reaches (resolution
+    level i runs at H/2^i with n_filters*2^i channels):
+
+    - 1: encoder conv0, decoder deconv3, output head (the 640px C=8
+      stages — a 4x cut of their 16x lane-padding tax)
+    - 2: + conv1/deconv2 (320px C=16, 8x -> 2x tax)
+    - 3: + conv2/deconv1 (160px C=32 -> 128 packed, a PERFECT lane fit)
+
+    Packed decoder stages above level 0 end with a depth_to_space so the
+    next (higher-resolution) stage's sub-pixel ConvTranspose reads the
+    plain layout it expects.
     """
     n_filters: int = 8
     dropout: float = 0.2
     batchnorm: bool = True
     dtype: Optional[object] = None
+    packed_levels: int = 1
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         nf = self.n_filters
         dt = self.dtype
+        pl = self.packed_levels
+        if not 1 <= pl <= 3:
+            raise ValueError(f"packed_levels must be in 1..3, got {pl}")
         if dt is not None:
             x = x.astype(dt)
-        xp = space_to_depth(x)                       # [B, H/2, W/2, 12]
-        skip0_p, f = _PackedConvBlock(
-            nf, 3, batchnorm=self.batchnorm, dropout=self.dropout,
-            dtype=dt, name="conv0")(xp, training)
-        skips = []
-        for i in range(1, 4):
-            skip, f = ConvBlock(nf * (2 ** i), batchnorm=self.batchnorm,
-                                dropout=self.dropout, dtype=dt,
-                                name=f"conv{i}")(f, training)
-            skips.append(skip)
+        f = x
+        skips = []  # (is_packed, tensor), resolution level i
+        for i in range(4):
+            nf_i = nf * (2 ** i)
+            if i < pl:
+                skip_p, f = _PackedConvBlock(
+                    nf_i, f.shape[-1], batchnorm=self.batchnorm,
+                    dropout=self.dropout, dtype=dt,
+                    name=f"conv{i}")(space_to_depth(f), training)
+                skips.append((True, skip_p))
+            else:
+                skip, f = ConvBlock(nf_i, batchnorm=self.batchnorm,
+                                    dropout=self.dropout, dtype=dt,
+                                    name=f"conv{i}")(f, training)
+                skips.append((False, skip))
         f = ConvBlock(nf * 16, batchnorm=self.batchnorm, maxpool=False,
                       dtype=dt, name="conv4")(f, training)
         m = 8
-        for i, skip in enumerate(reversed(skips)):
-            f = DeconvBlock(int(nf * m), dropout=self.dropout,
-                            batchnorm=self.batchnorm, dtype=dt,
-                            name=f"deconv{i}")(f, skip, training)
-            m /= 2
-        xp = _PackedDeconvBlock(nf, f.shape[-1], dropout=self.dropout,
+        for i, (packed, skip) in enumerate(reversed(skips)):
+            level = 3 - i
+            nf_i = int(nf * m)
+            if packed:
+                f = _PackedDeconvBlock(
+                    nf_i, f.shape[-1], dropout=self.dropout,
+                    batchnorm=self.batchnorm, dtype=dt,
+                    name=f"deconv{i}")(f, skip, training)
+                if level > 0:
+                    # boundary: the next stage's sub-pixel ConvTranspose
+                    # takes the plain layout
+                    f = depth_to_space(f)
+            else:
+                f = DeconvBlock(nf_i, dropout=self.dropout,
                                 batchnorm=self.batchnorm, dtype=dt,
-                                name="deconv3")(f, skip0_p, training)
+                                name=f"deconv{i}")(f, skip, training)
+            m /= 2
         k, b = _ConvParams((1, 1, nf, 3), name="output")()
-        yp = packed_1x1(xp, k, b, dt)
+        yp = packed_1x1(f, k, b, dt)
         return depth_to_space(jnp.tanh(yp)).astype(jnp.float32)

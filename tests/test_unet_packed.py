@@ -99,10 +99,12 @@ def test_identical_pytree_and_fresh_init(pair):
     _tree_allclose(v, vp, atol=0.0)
 
 
-def test_forward_parity_eval(pair):
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_forward_parity_eval(pair, levels):
     v, x = pair
     ref = PatchNeutralizer(n_filters=8).apply(v, x, False)
-    got = PackedPatchNeutralizer(n_filters=8).apply(v, x, False)
+    got = PackedPatchNeutralizer(n_filters=8,
+                                 packed_levels=levels).apply(v, x, False)
     assert got.dtype == ref.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
@@ -122,7 +124,8 @@ def test_forward_and_batchstats_parity_training(pair):
                    atol=1e-5, rtol=1e-5)
 
 
-def test_grad_parity_exact_f64(pair):
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_grad_parity_exact_f64(pair, levels):
     """In float64 the packed module is the SAME function: forward output
     and every parameter gradient match to double-precision exactness (the
     multiply-add sets are identical; only f32 reduction order can differ,
@@ -130,7 +133,8 @@ def test_grad_parity_exact_f64(pair):
     v32, _ = pair
     with jax.enable_x64():
         std = PatchNeutralizer(n_filters=8, dropout=0.0)
-        pkd = PackedPatchNeutralizer(n_filters=8, dropout=0.0)
+        pkd = PackedPatchNeutralizer(n_filters=8, dropout=0.0,
+                                     packed_levels=levels)
         x = jnp.asarray(
             np.random.default_rng(7).normal(size=(B, H, H, 3)),
             jnp.float64)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(model="efficientdet-lite4", batch=24, iters=10, packed=False):
+def main(model="efficientdet-lite4", batch=24, iters=10, packed=0):
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.defense.defender import (
         PatchAttackDefender)
@@ -58,7 +58,7 @@ def main(model="efficientdet-lite4", batch=24, iters=10, packed=False):
         state, m = step(state, images)
     fence(state)
     dt = (time.perf_counter() - t0) / iters
-    tag = " packed" if packed else ""
+    tag = f" packed{packed}" if packed else ""
     print(f"defender train{tag} b{batch}: {dt*1e3:.1f} ms/step, "
           f"{batch/dt:.1f} img/s/chip", flush=True)
 
@@ -67,8 +67,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--model", default="efficientdet-lite4")
-    p.add_argument("--packed", action="store_true",
-                   help="space-to-depth lane-packed U-Net (models/unet_packed.py)")
+    p.add_argument("--packed", type=int, nargs="?", const=1, default=0,
+                   help="space-to-depth lane-packed U-Net "
+                        "(models/unet_packed.py); value = packing depth 1-3")
     a = p.parse_args()
     from mladversarialobjectdetection_tpu.utils.debug import (
         enable_compilation_cache)
