@@ -242,8 +242,15 @@ class _NameMapper:
 
 
 def convert_tf_weights(tf_weights: Dict[str, np.ndarray], config, spec,
-                       flax_variables, *, prefer_ema: bool = True):
-    """Fill a flax variables pytree from TF weights. Raises on any miss."""
+                       flax_variables, *, prefer_ema: bool = True,
+                       skip=None, strict: bool = True):
+    """Fill a flax variables pytree from TF weights. Raises on any miss.
+
+    `skip(collection, path) -> bool` keeps the fresh leaf untouched (the
+    fine-tune exclude_layers mechanism, reference tf2/train.py:255-261);
+    `strict=False` additionally keeps fresh leaves on missing TF names or
+    shape mismatches instead of raising — the skip semantics of
+    util_keras.restore_ckpt (util_keras.py:108-203)."""
     import jax
 
     mapper = _NameMapper(config, spec)
@@ -259,18 +266,27 @@ def convert_tf_weights(tf_weights: Dict[str, np.ndarray], config, spec,
         new_leaves = []
         for pathkeys, leaf in flat[0]:
             path = tuple(p.key for p in pathkeys)
-            tf_name, transform = mapper(collection, path)
-            if path[-1] == "WSM":
-                n = leaf.shape[0] if leaf.ndim >= 1 else 1
-                vals = [lookup(tf_name if i == 0 else f"{tf_name}_{i}")
-                        for i in range(n)]
-                arr = np.stack(vals).reshape(leaf.shape)
-            else:
-                arr = transform(np.asarray(lookup(tf_name)))
-            if arr.shape != leaf.shape:
-                raise ValueError(
-                    f"shape mismatch {collection}/{'/'.join(path)}: "
-                    f"tf {arr.shape} vs flax {leaf.shape} ({tf_name})")
+            if skip is not None and skip(collection, path):
+                new_leaves.append(np.asarray(leaf))
+                continue
+            try:
+                tf_name, transform = mapper(collection, path)
+                if path[-1] == "WSM":
+                    n = leaf.shape[0] if leaf.ndim >= 1 else 1
+                    vals = [lookup(tf_name if i == 0 else f"{tf_name}_{i}")
+                            for i in range(n)]
+                    arr = np.stack(vals).reshape(leaf.shape)
+                else:
+                    arr = transform(np.asarray(lookup(tf_name)))
+                if arr.shape != leaf.shape:
+                    raise ValueError(
+                        f"shape mismatch {collection}/{'/'.join(path)}: "
+                        f"tf {arr.shape} vs flax {leaf.shape} ({tf_name})")
+            except (KeyError, ValueError):
+                if strict:
+                    raise
+                new_leaves.append(np.asarray(leaf))
+                continue
             new_leaves.append(arr.astype(np.asarray(leaf).dtype))
         out[collection] = jax.tree_util.tree_unflatten(flat[1], new_leaves)
     return out

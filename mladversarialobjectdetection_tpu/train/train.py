@@ -69,7 +69,8 @@ def train(model_name: str = "efficientdet-d0", *,
           seed: int = 0, resume: bool = False, config_override=None,
           prune_sparsity: float | None = None, prune_begin: int = 0,
           prune_end: int | None = None, spatial: int = 1,
-          grad_accum: int = 1):
+          grad_accum: int = 1, pretrained_ckpt: str | None = None,
+          finetune_mode: str = "backbone"):
     config = config_lib.get_efficientdet_config(model_name)
     if image_size is not None:
         config.image_size = image_size
@@ -98,6 +99,23 @@ def train(model_name: str = "efficientdet-d0", *,
         state = ckpt_io.load_state_bytes(latest, state)
         start_epoch = int(np.asarray(state.step)) // steps_per_epoch
         logger.info(f"resumed from {latest} at epoch {start_epoch}")
+    elif pretrained_ckpt:
+        # fine-tune init (latest ckpt wins over pretrained, like the
+        # reference's elif at tf2/train.py:249-261):
+        #   backbone: fresh heads (--pretrained_ckpt exclude_layers)
+        #   trunk: fresh predict layers only (the TF-Hub variant analog,
+        #          train_lib.py:732-766 — fine-tune to a new num_classes)
+        from ..ckpt import finetune
+        import jax.numpy as jnp
+        variables = finetune.restore_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pretrained_ckpt, config, trainer.spec, mode=finetune_mode)
+        state = state._replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+            ema_params=jax.tree.map(jnp.copy, variables["params"]))
+        logger.info(f"fine-tune init ({finetune_mode}) from "
+                    f"{pretrained_ckpt}")
     state = replicate(mesh, state)
     train_step = jax.jit(trainer.train_step, donate_argnums=0)
 
@@ -235,6 +253,16 @@ def main():
                         "microbatches, one mean-gradient update per step "
                         "(activation memory ~ batch/grad_accum; BN stats "
                         "are per-microbatch ghost batches)")
+    p.add_argument("--pretrained-ckpt", default=None,
+                   help="fine-tune from this detector checkpoint (native "
+                        "pytree, TF1 dir/prefix, or tarball; reference "
+                        "tf2/train.py --pretrained_ckpt)")
+    p.add_argument("--finetune-mode", default="backbone",
+                   choices=("backbone", "trunk"),
+                   help="backbone: fresh class/box heads (exclude_layers "
+                        "parity, tf2/train.py:255-261); trunk: pretrained "
+                        "head convs too, fresh predict layers only (the "
+                        "TF-Hub fine-tune analog, train_lib.py:732-766)")
     a = p.parse_args()
     train(a.model, train_pattern=a.train_pattern, val_pattern=a.val_pattern,
           model_dir=a.model_dir, batch_size=a.batch_size,
@@ -242,7 +270,8 @@ def main():
           image_size=a.image_size, resume=a.resume,
           config_override=a.hparams, prune_sparsity=a.prune_sparsity,
           prune_begin=a.prune_begin, prune_end=a.prune_end,
-          spatial=a.spatial, grad_accum=a.grad_accum)
+          spatial=a.spatial, grad_accum=a.grad_accum,
+          pretrained_ckpt=a.pretrained_ckpt, finetune_mode=a.finetune_mode)
 
 
 if __name__ == "__main__":

@@ -388,3 +388,51 @@ def test_victim_from_local_tarball_end_to_end(lite0_fixture, tmp_path):
         assert pa == pe
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
                                       err_msg=str(pa))
+
+
+def test_finetune_trunk_from_tf_file(lite0_fixture):
+    """ckpt/finetune.py mode='trunk' sourced from the TF1 EMA checkpoint
+    FILE with a different num_classes (the TF-Hub fine-tune analog,
+    train_lib.py:732-766): every trunk leaf — backbone, FPN, head conv
+    repeats and their BN stats — must equal the full EMA conversion;
+    only the final predict layers keep the fresh init, with the class
+    predict sized for the NEW class count."""
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ckpt import finetune
+    from mladversarialobjectdetection_tpu.models import efficientdet
+
+    _, prefix = lite0_fixture
+    cfg = _our_cfg("efficientdet-lite0")
+    cfg.num_classes = 3
+    spec = efficientdet.spec_from_config(cfg)
+    net = efficientdet.EfficientDetNet(spec)
+    fresh = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(9)}, jnp.zeros((1, 64, 64, 3)),
+        training=False)
+    out = finetune.restore_pretrained(dict(fresh), prefix, cfg, spec,
+                                      mode="trunk")
+
+    # ground truth for the trunk: the strict full conversion on the
+    # original 90-class template (test_file_restore_forward_parity
+    # already pins it against the reference restore)
+    _, _, _, converted, _, _ = _convert_from_file(prefix)
+
+    def flat(tree):
+        leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return {"/".join(p.key for p in path): np.asarray(leaf)
+                for path, leaf in leaves}
+
+    out_f, conv_f, fresh_f = flat(out), flat(converted), flat(fresh)
+    n_trunk = n_pred = 0
+    for key, val in out_f.items():
+        head = "class_net" in key or "box_net" in key
+        if head and "predict" in key:
+            np.testing.assert_array_equal(val, fresh_f[key], err_msg=key)
+            n_pred += 1
+        else:
+            np.testing.assert_array_equal(val, conv_f[key], err_msg=key)
+            n_trunk += 1
+    assert n_pred >= 4 and n_trunk > 50
+    width = out["params"]["class_net"]["predict"]["pw"]["kernel"].shape[-1]
+    assert width == 3 * spec.num_anchors
