@@ -258,11 +258,13 @@ def main():
                    help="shard each image's rows over this many chips "
                         "(spatial model parallelism; must divide the "
                         "device count and the image height)")
-    p.add_argument("--packed", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--packed", type=int, nargs="?", const=3, default=0,
                    help="space-to-depth lane-packed U-Net layout "
                         "(models/unet_packed.py) — same model/pytree, "
                         "TPU-native memory layout; optional value = "
-                        "packing depth 1-3 (640/320/160px stages)")
+                        "packing depth 1-3 (640/320/160px stages). "
+                        "Bare --packed = depth 3, the measured best "
+                        "(311->203 ms/step at b24, +53%; BENCH_NOTES)")
     p.add_argument("--resume", action="store_true",
                    help="resume the FULL state (weights + adam moments + "
                         "PRNG + plateau-LR + data position) from "

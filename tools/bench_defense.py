@@ -67,7 +67,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--model", default="efficientdet-lite4")
-    p.add_argument("--packed", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--packed", type=int, nargs="?", const=3, default=0,
                    help="space-to-depth lane-packed U-Net "
                         "(models/unet_packed.py); value = packing depth 1-3")
     a = p.parse_args()
