@@ -95,8 +95,12 @@ def main(model_name, batch):
             apply_bn=spec.apply_bn_for_resampling,
             conv_after_downsample=spec.conv_after_downsample,
             dtype=cdtype),
-            {"params": p[f"resample_p{level}"],
-             "batch_stats": bs.get(f"resample_p{level}", {})})
+            # levels whose input already has fpn_num_filters channels are
+            # pure pooling — no params/batch_stats collections exist
+            {k: v for k, v in
+             (("params", p.get(f"resample_p{level}")),
+              ("batch_stats", bs.get(f"resample_p{level}")))
+             if v})
         for level in range(6, spec.max_level + 1)}
 
     def backbone_stage(xx):
