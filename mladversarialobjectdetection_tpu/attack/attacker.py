@@ -85,7 +85,8 @@ class PatchAttacker:
                  use_histogram_match: bool = False,
                  window: int | None = None,
                  eot_overrides: Dict[str, Any] | None = None,
-                 grad_accum: int = 1):
+                 grad_accum: int = 1,
+                 freeze_scale: bool = False):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
         self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
@@ -125,6 +126,11 @@ class PatchAttacker:
         self.grad_accum = int(grad_accum)
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+        # freeze_scale: diagnostic mode for ASR-vs-scale frontier probes —
+        # the (max_score - scale)^2 coupling term is dropped from the loss
+        # (the patch purely minimizes sum(max_score^2)) and the scale
+        # scalar receives zero gradient, so it stays pinned at its init.
+        self.freeze_scale = bool(freeze_scale)
         self._params_dict = config.as_dict()
 
     # -- state -------------------------------------------------------------
@@ -202,7 +208,13 @@ class PatchAttacker:
         max_scores = jnp.maximum(jnp.max(adv_masked, axis=1), 0.0)  # [B]
         scale_losses = (max_scores - scale) ** 2
         tv = eot.total_variation(patch)
-        loss = jnp.sum(max_scores ** 2 + scale_losses) + tv_weight * tv
+        if self.freeze_scale:
+            # frontier-probe objective: pure attack strength at a pinned
+            # scale; no gradient flows to `scale` (adam then leaves it
+            # exactly unchanged: zero grad -> zero moments -> zero update)
+            loss = jnp.sum(max_scores ** 2) + tv_weight * tv
+        else:
+            loss = jnp.sum(max_scores ** 2 + scale_losses) + tv_weight * tv
         aux = dict(max_scores=max_scores, scale_losses=scale_losses,
                    tv=tv, adv_boxes=adv_boxes, adv_masked=adv_masked)
         return loss, aux

@@ -111,3 +111,23 @@ def test_train_step_boxes_override(attacker, rand_images):
     p_live = run(live)
     p_dead = run(dead)
     assert not np.allclose(p_live, p_dead)
+
+
+def test_freeze_scale_pins_scale(tiny_detector, rand_images):
+    """freeze_scale=True: scale receives zero gradient (stays exactly at
+    its init) and the loss drops the (max_score - scale)^2 coupling term
+    (frontier-probe objective, examples/northstar_soak.py)."""
+    cfg, spec, net, variables = tiny_detector
+    atk = PatchAttacker(cfg, variables, patch_size=32, freeze_scale=True)
+    st = atk.init_state(jax.random.PRNGKey(0), initial_scale=0.37)
+    step = jax.jit(atk.train_step)
+    st2, m = step(st, rand_images)
+    st3, m3 = step(st2, rand_images)
+    assert float(st3.scale) == float(np.float32(0.37))  # bit-exact pin
+    assert not np.allclose(np.asarray(st3.patch), np.asarray(st.patch))
+    # loss excludes the coupling term: with random weights max_scores are
+    # tiny, so loss ~ sum(max^2) + tv << B * scale^2
+    b = rand_images.shape[0]
+    assert float(m.loss) < 0.5 * b * 0.37 ** 2
+    # metric still reports the pinned scale
+    assert float(m.scale) == float(np.float32(0.37))
