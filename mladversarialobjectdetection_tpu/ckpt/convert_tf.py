@@ -250,8 +250,14 @@ def convert_tf_weights(tf_weights: Dict[str, np.ndarray], config, spec,
     fine-tune exclude_layers mechanism, reference tf2/train.py:255-261);
     `strict=False` additionally keeps fresh leaves on missing TF names or
     shape mismatches instead of raising — the skip semantics of
-    util_keras.restore_ckpt (util_keras.py:108-203)."""
+    util_keras.restore_ckpt (util_keras.py:108-203). Each non-strict skip
+    is logged with its cause and a restored/skipped summary is emitted
+    (restore_ckpt warns per skipped variable, util_keras.py:169-171), so
+    a name-mapping gap cannot silently leave leaves random-initialized."""
     import jax
+
+    from ..utils.log import get_logger
+    logger = get_logger(__name__)
 
     mapper = _NameMapper(config, spec)
 
@@ -261,6 +267,8 @@ def convert_tf_weights(tf_weights: Dict[str, np.ndarray], config, spec,
         return tf_weights[name]
 
     out = {}
+    restored = 0
+    skipped = []
     for collection, tree in flax_variables.items():
         flat = jax.tree_util.tree_flatten_with_path(tree)
         new_leaves = []
@@ -282,13 +290,22 @@ def convert_tf_weights(tf_weights: Dict[str, np.ndarray], config, spec,
                     raise ValueError(
                         f"shape mismatch {collection}/{'/'.join(path)}: "
                         f"tf {arr.shape} vs flax {leaf.shape} ({tf_name})")
-            except (KeyError, ValueError):
+            except (KeyError, ValueError) as e:
                 if strict:
                     raise
+                skipped.append((collection, "/".join(path),
+                                f"{type(e).__name__}: {e}"))
+                logger.warning(
+                    f"convert_tf_weights: keeping fresh init for "
+                    f"{collection}/{'/'.join(path)} ({type(e).__name__}: {e})")
                 new_leaves.append(np.asarray(leaf))
                 continue
+            restored += 1
             new_leaves.append(arr.astype(np.asarray(leaf).dtype))
         out[collection] = jax.tree_util.tree_unflatten(flat[1], new_leaves)
+    if not strict:
+        logger.info(f"convert_tf_weights: restored {restored} leaves, "
+                    f"skipped {len(skipped)} (kept fresh init)")
     return out
 
 

@@ -100,8 +100,18 @@ def train(model_name: str = "efficientdet-d0", *,
         start_epoch = int(np.asarray(state.step)) // steps_per_epoch
         logger.info(f"resumed from {latest} at epoch {start_epoch}")
     elif pretrained_ckpt:
-        # fine-tune init (latest ckpt wins over pretrained, like the
-        # reference's elif at tf2/train.py:249-261):
+        # fine-tune init. NOTE a deliberate deviation: the reference
+        # prefers latest_checkpoint(model_dir) UNCONDITIONALLY
+        # (tf2/train.py:249-261 elif); here latest wins only with
+        # --resume, so re-running into a populated model_dir without it
+        # re-initializes from the pretrained ckpt — warn loudly.
+        if os.path.exists(latest):
+            logger.warning(
+                f"{latest} exists but --resume was not given: "
+                f"re-initializing from --pretrained-ckpt and OVERWRITING "
+                f"the previous run's progress (the reference would resume "
+                f"from latest here; pass --resume for that behavior)")
+        # fine-tune modes:
         #   backbone: fresh heads (--pretrained_ckpt exclude_layers)
         #   trunk: fresh predict layers only (the TF-Hub variant analog,
         #          train_lib.py:732-766 — fine-tune to a new num_classes)
@@ -116,6 +126,11 @@ def train(model_name: str = "efficientdet-d0", *,
             ema_params=jax.tree.map(jnp.copy, variables["params"]))
         logger.info(f"fine-tune init ({finetune_mode}) from "
                     f"{pretrained_ckpt}")
+    elif os.path.exists(latest):
+        logger.warning(
+            f"{latest} exists but --resume was not given: training starts "
+            f"from scratch (the reference resumes from latest_checkpoint "
+            f"unconditionally, tf2/train.py:249-261; pass --resume)")
     state = replicate(mesh, state)
     train_step = jax.jit(trainer.train_step, donate_argnums=0)
 

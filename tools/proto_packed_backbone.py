@@ -49,34 +49,61 @@ def conv(x, k, strides=(1, 1), fgc=1):
 
 
 def space_to_depth(x):
+    """Phase-major packing: flat channel = (sy*2+sx)*C + cc."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
+def space_to_depth_cm(x):
+    """Channel-major packing: flat channel = cc*4 + (sy*2+sx).
+
+    This is the layout a packed DEPTHWISE conv needs: XLA grouped-conv
+    groups are contiguous channel ranges, so feature_group_count=C only
+    groups "the 4 phases of channel cc" together when they are adjacent.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_cm(y):
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(b, h, w, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+    return y.reshape(b, h * 2, w * 2, c)
+
+
 def pack_dw_kernel(k_dw, c):
-    """[kh,kw,1,C] depthwise -> [kh//2+1? ,.,4,4C] grouped kernel on the
-    packed grid. Output phase (p,q) tap (dy,dx) reads input phase
-    ((p+dy)%2,(q+dx)%2) at packed offset ((p+dy)//2, (q+dx)//2) — for k=3
-    centered taps dy,dx in {-1,0,1} the packed offsets span {-1,0}+1 = 2
-    taps per axis => packed kernel 2x2 (k=5 -> 3x3)."""
+    """[kh,kw,1,C] depthwise -> [pk,pk,4,4C] grouped kernel on the
+    CHANNEL-MAJOR packed grid (see space_to_depth_cm).
+
+    Output phase (p,q) at packed row Y covers unpacked row 2Y+p; its tap
+    (dy,dx) reads unpacked row 2Y+p+dy = packed row Y + (p+dy)//2, phase
+    (p+dy)%2. Over p in {0,1} and dy in [-r,r] the packed offsets span
+    [floor(-r/2), floor((1+r)/2)] — {-1,0,1} for both k=3 and k=5, i.e.
+    pk=3 taps per axis with center index 1 (a single 2x2 kernel CANNOT
+    encode k=3: output phase 0 needs offsets {-1,0}, phase 1 needs
+    {0,+1}). With feature_group_count=C, group cc holds the 4 phases of
+    channel cc: kernel in-dim = input phase, out channel = cc*4 + phase.
+    """
     kh = k_dw.shape[0]
     r = kh // 2
-    pk = r // 2 + 1 + (1 if r % 2 else 0)  # k3->2, k5->3
+    lo = (0 - r) // 2          # most negative packed offset (phase 0)
+    hi = (1 + r) // 2          # most positive packed offset (phase 1)
+    pk = hi - lo + 1
+    ctr = -lo
+    assert pk % 2 == 1, (kh, pk)  # SAME conv needs an odd packed kernel
     kp = np.zeros((pk, pk, 4, 4 * c), k_dw.dtype)
     for p in range(2):
         for q in range(2):
             for dy in range(-r, r + 1):
                 for dx in range(-r, r + 1):
                     ip, iq = (p + dy) % 2, (q + dx) % 2
-                    oy, ox = (p + dy) // 2 + (pk - 1) // 1 - 1, (q + dx) // 2
-                    # packed tap index relative to kernel origin:
-                    ty, tx = (p + dy) // 2 + (pk - 2), (q + dx) // 2 + (pk - 2)
-                    if not (0 <= ty < pk and 0 <= tx < pk):
-                        raise AssertionError((p, q, dy, dx, ty, tx))
+                    ty, tx = (p + dy) // 2 + ctr, (q + dx) // 2 + ctr
+                    in_ph = ip * 2 + iq
                     for cc in range(c):
-                        out_ch = (p * 2 + q) * c + cc
-                        in_ph = ip * 2 + iq
+                        out_ch = cc * 4 + (p * 2 + q)
                         kp[ty, tx, in_ph, out_ch] = k_dw[dy + r, dx + r, 0, cc]
     return jnp.asarray(kp)
 
@@ -87,26 +114,50 @@ def main(batch, hw, c):
     xp = jax.jit(space_to_depth)(x)
     print(f"shapes: unpacked {x.shape}, packed {xp.shape}", flush=True)
 
-    # ---- depthwise k3 ----
+    xcm = jax.jit(space_to_depth_cm)(x)
+
+    # ---- depthwise k3 (channel-major packed layout) ----
     kdw = jnp.asarray(rng.standard_normal((3, 3, 1, c)), jnp.bfloat16)
     t_dw = fenced(lambda a: conv(a, kdw, fgc=c), x)
     kdwp = pack_dw_kernel(np.asarray(kdw, np.float32), c).astype(jnp.bfloat16)
-    t_dwp = fenced(lambda a: conv(a, kdwp, fgc=c), xp)
+    t_dwp = fenced(lambda a: conv(a, kdwp, fgc=c), xcm)
     # correctness (f32, small slice)
     xs = jnp.asarray(rng.standard_normal((1, 16, 16, c)), jnp.float32)
     ref = conv(xs, kdw.astype(jnp.float32), fgc=c)
-    got = conv(space_to_depth(xs), kdwp.astype(jnp.float32), fgc=c)
+    got = conv(space_to_depth_cm(xs), kdwp.astype(jnp.float32), fgc=c)
+    err = float(jnp.abs(depth_to_space_cm(got) - ref).max())
+    assert err < 1e-4, f"packed depthwise k3 mismatch: {err}"
+    print(f"depthwise k3: unpacked {t_dw*1e3:7.3f} ms  packed-grouped "
+          f"{t_dwp*1e3:7.3f} ms  ({t_dw/t_dwp:4.2f}x)  maxerr {err:.2e}",
+          flush=True)
+
+    # ---- depthwise k5 (same packed-kernel math, pk stays 3) ----
+    kdw5 = jnp.asarray(rng.standard_normal((5, 5, 1, c)), jnp.bfloat16)
+    t_dw5 = fenced(lambda a: conv(a, kdw5, fgc=c), x)
+    kdw5p = pack_dw_kernel(np.asarray(kdw5, np.float32), c).astype(jnp.bfloat16)
+    t_dw5p = fenced(lambda a: conv(a, kdw5p, fgc=c), xcm)
+    ref5 = conv(xs, kdw5.astype(jnp.float32), fgc=c)
+    got5 = conv(space_to_depth_cm(xs), kdw5p.astype(jnp.float32), fgc=c)
+    err5 = float(jnp.abs(depth_to_space_cm(got5) - ref5).max())
+    assert err5 < 1e-4, f"packed depthwise k5 mismatch: {err5}"
+    print(f"depthwise k5: unpacked {t_dw5*1e3:7.3f} ms  packed-grouped "
+          f"{t_dw5p*1e3:7.3f} ms  ({t_dw5/t_dw5p:4.2f}x)  maxerr {err5:.2e}",
+          flush=True)
+
+    # ---- layout permutation cost (phase-major <-> channel-major) ----
+    # a packed MBConv needs channel-major for the grouped depthwise but
+    # phase-major for the per-phase 1x1 einsum (models/unet_packed.py
+    # packed_1x1); this minor-dim permutation is the glue cost between them
+    perm = np.array([ph * c + cc for cc in range(c) for ph in range(4)])
+    t_perm = fenced(lambda a: jnp.take(a, jnp.asarray(perm), axis=3), xp)
+    print(f"pm->cm minor permutation: {t_perm*1e3:7.3f} ms", flush=True)
 
     def depth_to_space(y):
+        """Phase-major inverse (for the phase-major 1x1 benches below)."""
         b, h, w, c4 = y.shape
         cc = c4 // 4
         y = y.reshape(b, h, w, 2, 2, cc).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(b, h * 2, w * 2, cc)
-
-    err = float(jnp.abs(depth_to_space(got) - ref).max())
-    print(f"depthwise k3: unpacked {t_dw*1e3:7.3f} ms  packed-grouped "
-          f"{t_dwp*1e3:7.3f} ms  ({t_dw/t_dwp:4.2f}x)  maxerr {err:.2e}",
-          flush=True)
 
     # ---- 1x1 project c -> c//2 ----
     co = c // 2
@@ -133,18 +184,12 @@ def main(batch, hw, c):
     # ---- full 3x3 (stage-2 fused-style reference point) ----
     kf = jnp.asarray(rng.standard_normal((3, 3, c, c)), jnp.bfloat16)
     t_f = fenced(lambda a: conv(a, kf), x)
-    # packed full conv: [3,3,4C,4C] block kernel (unet_packed style): build
-    # by embedding kdw-like phase structure; timing-only proxy with dense
-    # random kernel of the right shape/zero pattern is equivalent for bench
-    kfp = np.zeros((2, 2, 4 * c, 4 * c), np.float32)
+    # packed full conv: a [3,3,4C,4C] kernel with the phase zero-structure
+    # (exact construction lives in models/unet_packed.py). For TIMING a
+    # dense random kernel of the packed shape is equivalent — XLA does not
+    # exploit kernel sparsity — so bench the dense packed conv here.
     rnd = rng.standard_normal
-    for p in range(2):
-        for q in range(2):
-            for dy in range(-1, 2):
-                for dx in range(-1, 2):
-                    ty, tx = (p + dy) // 2 + 1 - 1 + (0 if True else 0), 0
-    # zero-structure detail lives in models/unet_packed; bench dense 2x2:
-    kfp = jnp.asarray(rnd((2, 2, 4 * c, 4 * c)), jnp.bfloat16)
+    kfp = jnp.asarray(rnd((3, 3, 4 * c, 4 * c)), jnp.bfloat16)
     t_fp = fenced(lambda a: conv(a, kfp), xp)
     print(f"full 3x3 {c}->{c}: unpacked {t_f*1e3:7.3f} ms  packed-2x2-dense "
           f"{t_fp*1e3:7.3f} ms  ({t_f/t_fp:4.2f}x)", flush=True)
@@ -169,5 +214,11 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", type=int, default=768)
     ap.add_argument("--c", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env vars are ignored by "
+                         "this jax build; smoke tests must not steal the "
+                         "TPU from a running soak)")
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     main(a.batch, a.hw, a.c)
