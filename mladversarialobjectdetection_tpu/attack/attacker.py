@@ -52,6 +52,12 @@ class StepMetrics(NamedTuple):
     std_max_score: jnp.ndarray
     asr: jnp.ndarray
     asr_to_scale: jnp.ndarray
+    # fraction of live patch slots whose rotation region exceeds the static
+    # EOT window and is clamped tighter than the reference's image-width
+    # clamp would (ops/eot.py geometry vs attacker.py:472). Sustained > 0
+    # means the composite deviates from reference semantics at the current
+    # scale — raise `window`. See tests/test_eot_parity_tf.py clamp bound.
+    eot_clamp_frac: jnp.ndarray
 
 
 def filter_valid_boxes(scores: jnp.ndarray, boxes: jnp.ndarray,
@@ -196,6 +202,23 @@ class PatchAttacker:
         return 1.0 - n_adv.astype(jnp.float32) / (
             n_clean.astype(jnp.float32) + 1e-7)
 
+    def _clamp_frac(self, boxes, boxes_valid, scale):
+        """Fraction of live slots where the static window clamps the
+        rotation region TIGHTER than the reference would: the reference
+        clamps diag = sqrt(2)*size to the image width (attacker.py:472),
+        ours additionally to `window` (ops/eot.py). Returns sum-pair
+        (n_clamped, n_valid) as floats so callers can aggregate."""
+        img_w = float(self.image_hw[1])
+        win = float(min(self.window or eot.default_window(self.image_hw),
+                        img_w))
+        longer = jnp.maximum(boxes[..., 2] - boxes[..., 0],
+                             boxes[..., 3] - boxes[..., 1])
+        size = jnp.floor(longer * jax.lax.stop_gradient(scale))
+        diag_ref = jnp.minimum(jnp.sqrt(2.0) * size, img_w)
+        clamped = (diag_ref > win) & boxes_valid
+        return (jnp.sum(clamped).astype(jnp.float32),
+                jnp.sum(boxes_valid).astype(jnp.float32))
+
     # -- loss ------------------------------------------------------------
     def _loss_from_images(self, patch, scale, images, boxes, boxes_valid, key,
                           det_variables=None, tv_weight: float = 1e-5):
@@ -277,7 +300,9 @@ class PatchAttacker:
         scale = jnp.clip(scale, 0.0, 1.0)
 
         metrics = self._metrics(loss, scale, aux, clean_scores, clean_valid,
-                                with_asr=with_asr)
+                                with_asr=with_asr,
+                                clamp=self._clamp_frac(boxes, boxes_valid,
+                                                       state.scale))
         new_state = AttackState(patch, scale, opt_state, state.step + 1,
                                 k_next)
         return new_state, metrics
@@ -310,7 +335,8 @@ class PatchAttacker:
         asr_thresh = 0.5  # calc_asr's default (attacker.py:238-263)
 
         def body(carry, x):
-            gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv = carry
+            (gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv,
+             c_sum, v_sum) = carry
             i, imgs = x[0], x[1]
             ke = jax.random.fold_in(k_eot, i)
             boxes, clean_scores, clean_valid = self.first_pass(imgs,
@@ -337,6 +363,9 @@ class PatchAttacker:
             sl_sum = sl_sum + jnp.sum(aux["scale_losses"])
             s_sum = s_sum + jnp.sum(aux["max_scores"])
             s_sq = s_sq + jnp.sum(aux["max_scores"] ** 2)
+            nc, nv = self._clamp_frac(bx, bv, state.scale)
+            c_sum = c_sum + nc
+            v_sum = v_sum + nv
             if with_asr:
                 _, adv_s, adv_v = self._nms(aux["adv_boxes"],
                                             aux["adv_masked"])
@@ -345,12 +374,15 @@ class PatchAttacker:
                 ).astype(jnp.float32)
                 n_adv = n_adv + jnp.sum(
                     (adv_s >= asr_thresh) & adv_v).astype(jnp.float32)
-            return (gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv), None
+            return (gsum, lsum, sl_sum, s_sum, s_sq, n_clean, n_adv,
+                    c_sum, v_sum), None
 
         zero = jnp.zeros((), jnp.float32)
         zeros_g = jax.tree.map(jnp.zeros_like, (state.scale, state.patch))
-        (gsum, loss, sl_sum, s_sum, s_sq, n_clean, n_adv), _ = jax.lax.scan(
-            body, (zeros_g, zero, zero, zero, zero, zero, zero), xs)
+        ((gsum, loss, sl_sum, s_sum, s_sq, n_clean, n_adv, c_sum, v_sum),
+         _) = jax.lax.scan(
+            body, (zeros_g, zero, zero, zero, zero, zero, zero, zero, zero),
+            xs)
 
         updates, opt_state = self.tx.update(gsum, state.opt_state,
                                             (state.scale, state.patch))
@@ -367,7 +399,8 @@ class PatchAttacker:
             loss=loss, scale=scale, scale_loss=sl_sum,
             tv_loss=eot.total_variation(state.patch),
             mean_max_score=mean, std_max_score=std, asr=asr,
-            asr_to_scale=asr / (scale + 1e-7))
+            asr_to_scale=asr / (scale + 1e-7),
+            eot_clamp_frac=c_sum / jnp.maximum(v_sum, 1.0))
         return AttackState(patch, scale, opt_state, state.step + 1,
                            k_next), metrics
 
@@ -385,10 +418,13 @@ class PatchAttacker:
         loss, aux = self._loss_from_images(state.patch, state.scale, images,
                                            boxes, boxes_valid, k_eot,
                                            det_variables)
-        return self._metrics(loss, state.scale, aux, clean_scores, clean_valid)
+        return self._metrics(loss, state.scale, aux, clean_scores,
+                             clean_valid,
+                             clamp=self._clamp_frac(boxes, boxes_valid,
+                                                    state.scale))
 
     def _metrics(self, loss, scale, aux, clean_scores, clean_valid,
-                 with_asr: bool = True) -> StepMetrics:
+                 with_asr: bool = True, clamp=None) -> StepMetrics:
         if with_asr:
             _, adv_nms_scores, adv_nms_valid = self._nms(aux["adv_boxes"],
                                                          aux["adv_masked"])
@@ -396,6 +432,10 @@ class PatchAttacker:
                                 adv_nms_valid)
         else:
             asr = jnp.asarray(jnp.nan)
+        if clamp is None:
+            clamp_frac = jnp.asarray(jnp.nan)
+        else:
+            clamp_frac = clamp[0] / jnp.maximum(clamp[1], 1.0)
         return StepMetrics(
             loss=loss,
             scale=scale,
@@ -405,6 +445,7 @@ class PatchAttacker:
             std_max_score=jnp.std(aux["max_scores"]),
             asr=asr,
             asr_to_scale=asr / (scale + 1e-7),
+            eot_clamp_frac=clamp_frac,
         )
 
     def asr_curve(self, state: AttackState, images: jnp.ndarray,

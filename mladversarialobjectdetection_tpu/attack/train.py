@@ -226,6 +226,13 @@ def train(model_name: str = "efficientdet-lite4", *,
             f"epoch {epoch}: val_loss={val['loss']:.4f} "
             f"asr={val['asr']:.3f} scale={val['scale']:.3f} "
             f"asr_to_scale={val['asr_to_scale']:.4f} {ips:.1f} img/s")
+        if val.get("eot_clamp_frac", 0.0) > 0.01:
+            logger.warning(
+                f"epoch {epoch}: {val['eot_clamp_frac']:.1%} of patch slots "
+                f"hit the EOT window clamp (window={window}) — the "
+                f"composite is tighter than the reference's image-width "
+                f"clamp at the current scale; raise --window (see "
+                f"ops/eot.py geometry notes)")
 
         # ASR-vs-threshold curve every visualize_freq steps
         # (host-side replacement for the in-graph tfplot rendering,

@@ -238,3 +238,112 @@ def test_patcher_min_area_culling_matches(ref_env, monkeypatch):
     assert np.abs(ref_p - images).max() < 1e-6
     assert np.abs(our_p - images).max() < 1e-6
     assert not region.any()
+
+
+def test_patcher_window_clamp_bound(ref_env, monkeypatch):
+    """Golden bound for the static-window clamp (ops/eot.py geometry notes
+    vs the reference's image-width clamp, attacker.py:472).
+
+    Geometry: 128px image, 100px box, scale .9 -> size 90,
+    diag_true = sqrt(2)*90 = 127.3. window=96 < diag_true exercises the
+    clamped branch the production driver (window 320, attack/train.py)
+    can hit on big boxes.
+
+    Pinned bounds proved here:
+      (a) rotation 0: the clamped composite still matches the REFERENCE —
+          the clamp only cuts sentinel-ring pixels that reveal background
+          anyway (the unrotated patch side 90 fits inside the 96 window).
+      (b) under rotation (the only case where patch corners leave the
+          window): clamped-vs-unclamped deviation is CONFINED to pixels
+          outside the centered window region; everything inside matches,
+          and the affected area is a corner sliver (< 25% of the patch).
+    """
+    import jax
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.ops import eot
+    tf = ref_env
+    imgc = 128
+    images = _smooth_images(1, imgc, seed=9)
+    boxes_list = [[[14.0, 34.0, 114.0, 94.0]]]  # h=100, centered (64, 64)
+    patch = _ramp_patch(64)
+    scale = 0.9
+
+    # (a) reference (clamps diag at image width 128 only) vs ours at
+    # window=96 AND window=128, rotation 0
+    ref_patched = _run_reference_patcher(tf, monkeypatch, images,
+                                         boxes_list, patch, scale)
+    ours96, _ = _run_ours(images, boxes_list, patch, scale,
+                          backend="matmul", window=96)
+    ours128, _ = _run_ours(images, boxes_list, patch, scale,
+                           backend="matmul", window=128)
+    _compare_patched(images, ref_patched, ours96, interior_tol=2e-2)
+    _compare_patched(images, ref_patched, ours128, interior_tol=2e-2)
+
+    # (b) fixed nonzero rotation (same key + same rotation_mag -> the two
+    # window values draw the IDENTICAL angle; window never enters the
+    # geometry key path)
+    boxes = np.zeros((1, 4, 4), np.float32)
+    boxes[0, 0] = boxes_list[0][0]
+    valid = np.zeros((1, 4), bool)
+    valid[0, 0] = True
+
+    def run(window):
+        patched, _ = eot.apply_patches(
+            jax.random.PRNGKey(3), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(valid), jnp.asarray(patch), scale,
+            tolerance=0.0, noise_mag=0.0, brightness_mag=0.0,
+            rotation_mag=0.35, print_jitter=False, backend="matmul",
+            window=window)
+        return np.asarray(patched)
+
+    r96 = run(96)
+    r128 = run(128)
+    d = np.abs(r96 - r128).max(-1)[0]                      # [H, W]
+    yy, xx = np.mgrid[0:imgc, 0:imgc].astype(np.float32)
+    dist = np.maximum(np.abs(yy - 64.0), np.abs(xx - 64.0))  # max-norm
+
+    diff = d > 0.05
+    assert diff.sum() > 0, (
+        "clamped branch not exercised (rotated corners must leave the "
+        "96px window at this geometry)")
+    # deviation confined OUTSIDE the centered 96 window (small fp margin)
+    assert d[dist < 45.0].max() < 2e-2, (
+        f"clamp leaked inside the window: {d[dist < 45.0].max():.4f}")
+    assert not diff[dist > 66.0].any(), "deviation beyond the true region"
+    # corner sliver only: bounded fraction of the patch area
+    frac = diff.sum() / (90.0 * 90.0)
+    assert frac < 0.25, f"clamped fraction {frac:.3f}"
+
+
+def test_clamp_frac_metric(ref_env, monkeypatch):
+    """PatchAttacker.eot_clamp_frac flags exactly the slots whose
+    reference-semantics region exceeds the static window."""
+    import jax.numpy as jnp
+    from mladversarialobjectdetection_tpu.attack.attacker import PatchAttacker
+    import mladversarialobjectdetection_tpu as mad
+    cfg = mad.get_efficientdet_config("efficientdet-lite0")
+    cfg.image_size = 128
+    cfg.fpn_num_filters = 16
+    cfg.fpn_cell_repeats = 1
+    cfg.box_class_repeats = 1
+    cfg.nms_configs.update({"score_thresh": 0.5, "pre_nms_topk": 64,
+                            "max_output_size": 16})
+    import jax
+    from mladversarialobjectdetection_tpu.models import efficientdet
+    spec = efficientdet.spec_from_config(cfg)
+    net = efficientdet.EfficientDetNet(spec)
+    v = jax.jit(net.init, static_argnames=("training",))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 128, 128, 3)), training=False)
+    atk = PatchAttacker(cfg, v, patch_size=32, window=96)
+    boxes = jnp.asarray([[[14.0, 34.0, 114.0, 94.0],     # diag 127 > 96
+                          [10.0, 10.0, 60.0, 44.0],      # diag 63 < 96
+                          [0.0, 0.0, 0.0, 0.0],
+                          [0.0, 0.0, 0.0, 0.0]]])
+    valid = jnp.asarray([[True, True, False, False]])
+    nc, nv = atk._clamp_frac(boxes, valid, jnp.asarray(0.9))
+    assert float(nc) == 1.0 and float(nv) == 2.0
+    # window >= image width -> never "tighter than the reference"
+    atk_full = PatchAttacker(cfg, v, patch_size=32, window=128)
+    nc2, _ = atk_full._clamp_frac(boxes, valid, jnp.asarray(0.9))
+    assert float(nc2) == 0.0
