@@ -16,6 +16,19 @@ import jax  # noqa: E402
 # environment; the config API is authoritative
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent XLA compilation cache for the suite: many modules jit
+# near-identical tiny-detector programs (session-scoped configs), so the
+# disk cache dedupes compiles ACROSS modules within one run — the main
+# cost of the fast tier on a 1-CPU box — and makes re-runs near-free.
+# Override the location with MLAD_TEST_CACHE_DIR; set it empty to disable.
+_cache_dir = os.environ.get(
+    "MLAD_TEST_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "mlad_test_xla_cache"))
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
