@@ -92,10 +92,16 @@ class PatchAttacker:
                  window: int | None = None,
                  eot_overrides: Dict[str, Any] | None = None,
                  grad_accum: int = 1,
-                 freeze_scale: bool = False):
+                 freeze_scale: bool = False,
+                 packed_entry: int = 0):
         self.config = config
         self.spec: DetSpec = spec_from_config(config)
-        self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name)
+        # packed_entry > 0: victim entry stages in the space-to-depth
+        # lane-packed layout (models/efficientnet_packed.py) — same
+        # variables, less HBM traffic; the victim is frozen so BN running
+        # stats are used and sync-BN never applies
+        self.net = EfficientDetNet(self.spec, bn_axis_name=bn_axis_name,
+                                   packed_entry=packed_entry)
         self.det_variables = det_variables
         self.patch_size = patch_size
         self.image_hw = self.spec.image_size

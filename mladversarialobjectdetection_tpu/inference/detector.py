@@ -32,7 +32,8 @@ class Detector:
 
     def __init__(self, *, model_name: str = "efficientdet-lite4",
                  params=None, ckpt_path: str | None = None, seed: int = 0,
-                 post_mode: str = "global", mesh=None):
+                 post_mode: str = "global", mesh=None,
+                 packed_entry: int = 0):
         """
         Args:
           model_name: efficientdet variant.
@@ -61,7 +62,10 @@ class Detector:
         if params:
             self.config.override(params, allow_new_keys=False)
         self.spec = spec_from_config(self.config)
-        self.net = EfficientDetNet(self.spec)
+        # packed_entry: leading backbone blocks in the space-to-depth
+        # lane-packed layout (models/efficientnet_packed.py) — same
+        # checkpoint variables, less HBM traffic on the C<128 stages
+        self.net = EfficientDetNet(self.spec, packed_entry=packed_entry)
         dummy = np.zeros((1, *self.spec.image_size, 3), np.float32)
         self.variables = jax.jit(self.net.init, static_argnames=("training",))(
             {"params": jax.random.PRNGKey(seed)}, dummy, training=False)

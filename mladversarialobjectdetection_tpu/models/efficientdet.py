@@ -88,9 +88,17 @@ def spec_from_config(config) -> DetSpec:
 
 
 class EfficientDetNet(nn.Module):
-    """Backbone -> resample 6..max -> BiFPN -> heads (no pre/post)."""
+    """Backbone -> resample 6..max -> BiFPN -> heads (no pre/post).
+
+    packed_entry > 0 computes that many leading backbone blocks (plus the
+    stem) in the space-to-depth lane-packed layout — same parameter
+    pytree, ~4x less HBM traffic for the C<128 entry stages
+    (models/efficientnet_packed.py). Mutually exclusive with bn_axis_name
+    (sync-BN); use packed_entry for serving / frozen-victim forwards.
+    """
     spec: DetSpec
     bn_axis_name: Optional[str] = None
+    packed_entry: int = 0
 
     @nn.compact
     def __call__(self, images, training: bool = False):
@@ -100,8 +108,16 @@ class EfficientDetNet(nn.Module):
         if spec.mixed_precision:
             x = x.astype(jnp.bfloat16)
 
-        endpoints = EfficientNet(spec.backbone, self.bn_axis_name, cdtype,
-                                 name="backbone")(x, training)
+        if self.packed_entry > 0:
+            assert self.bn_axis_name is None, (
+                "packed_entry does not support cross-replica BN")
+            from .efficientnet_packed import PackedEntryEfficientNet
+            endpoints = PackedEntryEfficientNet(
+                spec.backbone, self.packed_entry, cdtype,
+                name="backbone")(x, training)
+        else:
+            endpoints = EfficientNet(spec.backbone, self.bn_axis_name, cdtype,
+                                     name="backbone")(x, training)
         # endpoints[i] == reduction_{i+1}; levels min..5 come from backbone
         feats = [endpoints[level - 1]
                  for level in range(spec.min_level, min(spec.max_level, 5) + 1)]
