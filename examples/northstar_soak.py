@@ -108,6 +108,9 @@ def main():
     p.add_argument("--frontier-steps", type=int, default=1500)
     p.add_argument("--initial-patch", default=None,
                    help="patch dir to warm-start from")
+    p.add_argument("--initial-lr", type=float, default=1e-2,
+                   help="resume lever: restart a soak at the LR the "
+                        "plateau scheduler had annealed to")
     a = p.parse_args()
 
     from mladversarialobjectdetection_tpu.attack import artifacts
@@ -202,7 +205,8 @@ def main():
         return
 
     # ---- reference-shaped epoch soak -----------------------------------
-    attacker = PatchAttacker(cfg, det_vars, window=a.window)
+    attacker = PatchAttacker(cfg, det_vars, window=a.window,
+                             learning_rate=a.initial_lr)
     key = jax.random.PRNGKey(a.seed + 1)
     if a.initial_patch:
         patch_np, scale0 = artifacts.load_patch_dir(

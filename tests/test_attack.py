@@ -82,6 +82,7 @@ def test_artifacts_roundtrip(tmp_path):
     assert scale == pytest.approx(0.37)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (bench-hook audit)
 def test_train_step_boxes_override(attacker, rand_images):
     """boxes_override (bench.py's live-slot regime hook) pins the EOT
     placement: with identical PRNG chains, a step with one live overridden

@@ -36,6 +36,7 @@ def test_eval_step(defender, rand_images):
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (bound sweep)
 def test_recover_bounds(defender, rand_images):
     st = defender.init_state(jax.random.PRNGKey(0))
     rec = jax.jit(defender.recover)(st, rand_images)

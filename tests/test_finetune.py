@@ -137,6 +137,7 @@ def test_missing_and_mismatched_leaves_keep_fresh(pretrained):
     assert n_kept_fresh >= 2
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (covered by test_backbone_mode_fresh_heads fast)
 def test_train_step_after_trunk_finetune(pretrained):
     """A fine-tuned state trains: one supervised step on the new
     3-class head updates params and yields a finite loss."""

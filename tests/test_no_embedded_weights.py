@@ -54,6 +54,7 @@ def test_train_step_weights_as_args_not_constants(attacker, rand_images):
         "detection mechanism broken: closure form shows no big constants")
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (compile-shape audits)
 def test_train_step_arg_matches_closure(attacker, rand_images):
     st = attacker.init_state(jax.random.PRNGKey(0))
     st_a, m_a = jax.jit(attacker.train_step)(
@@ -64,6 +65,7 @@ def test_train_step_arg_matches_closure(attacker, rand_images):
     assert float(m_a.loss) == float(m_c.loss)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (compile-shape audits)
 def test_defender_step_weights_as_args(tiny_detector, rand_images):
     cfg, spec, net, variables = tiny_detector
     d = PatchAttackDefender(cfg, variables)

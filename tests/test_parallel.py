@@ -118,6 +118,7 @@ def test_sharded_serving_matches_single_device():
     np.testing.assert_allclose(r_par.boxes, r_ref.boxes, atol=1e-3)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (dryrun_multichip covers the driver path)
 def test_sharded_serve_pipelined_matches():
     from mladversarialobjectdetection_tpu.inference.detector import Detector
 
@@ -157,6 +158,7 @@ def test_serve_mesh_layout():
         make_serve_mesh(4, 4)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (dryrun_multichip covers the driver path)
 def test_spatial_sharded_serving_matches_single_device():
     """Detector(mesh=make_serve_mesh(2, 4)): model-parallel serving —
     image rows sharded over 'spatial', GSPMD halo-exchange convs — must
@@ -185,6 +187,7 @@ def test_spatial_sharded_serving_matches_single_device():
     np.testing.assert_allclose(r_par.boxes, r_ref.boxes, atol=1e-3)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (dryrun_multichip covers the driver path)
 def test_spatial_mesh_rejects_indivisible_height():
     from mladversarialobjectdetection_tpu.inference.detector import Detector
     from mladversarialobjectdetection_tpu.parallel import make_serve_mesh

@@ -125,6 +125,7 @@ def test_forward_and_batchstats_parity_training(pair):
 
 
 @pytest.mark.parametrize("levels", [1, 2, 3])
+@pytest.mark.slow  # heavy numerics golden: slow tier (fast tier keeps dropout/phase smoke tests)
 def test_grad_parity_exact_f64(pair, levels):
     """In float64 the packed module is the SAME function: forward output
     and every parameter gradient match to double-precision exactness (the
@@ -156,6 +157,7 @@ def test_grad_parity_exact_f64(pair, levels):
         _tree_allclose(g_got, g_ref, atol=1e-6)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (fast tier keeps dropout/phase smoke tests)
 def test_grad_parity_f32(pair):
     """f32 gradients agree to reduction-order noise (per-leaf norms; the
     earliest layers see the most amplified noise through 9 BN backwards;
@@ -184,6 +186,7 @@ def test_grad_parity_f32(pair):
         assert diff_n <= 5e-2 * ref_n + 0.5, (str(p), ref_n, diff_n)
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (fast tier keeps dropout/phase smoke tests)
 def test_forward_parity_bf16(pair):
     v, x = pair
     ref = PatchNeutralizer(n_filters=8, dtype=jnp.bfloat16).apply(v, x,
@@ -207,6 +210,7 @@ def test_dropout_path_runs(pair):
     assert np.isfinite(o).all() and (np.abs(o) <= 1.0).all()
 
 
+@pytest.mark.slow  # heavy numerics golden: slow tier (fast tier keeps dropout/phase smoke tests)
 def test_defender_packed_state_interop(pair):
     """PatchAttackDefender(packed=True) trains on a state initialized by
     the unpacked defender (checkpoint interop both ways)."""
