@@ -73,7 +73,8 @@ def make_live_slot_boxes(batch: int, image_hw, max_boxes: int = 16,
 def bench_attack_train(model_name: str = "efficientdet-lite4",
                        batch_size: int = 24, iters: int = 10,
                        warmup: int = 3, regime: str = "live",
-                       verbose: bool = False) -> float:
+                       verbose: bool = False,
+                       packed_entry: int = 0) -> float:
     import sys
 
     import jax
@@ -111,7 +112,8 @@ def bench_attack_train(model_name: str = "efficientdet-lite4",
 
     # 320px composite window covers the learned-scale patch regime
     # (diag <= 320 <=> patch side <= 226px; see ops/eot.py)
-    attacker = PatchAttacker(config, variables, window=320)
+    attacker = PatchAttacker(config, variables, window=320,
+                             packed_entry=packed_entry)
     state = attacker.init_state(jax.random.PRNGKey(1))
     images = jax.random.uniform(
         jax.random.PRNGKey(2), (batch_size, *spec.image_size, 3),
@@ -185,6 +187,10 @@ def main():
     p.add_argument("--regime", default="live",
                    choices=("live", "zero", "full"))
     p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--packed-entry", type=int, default=0,
+                   help="victim entry blocks in the space-to-depth packed "
+                        "layout (models/efficientnet_packed.py); bench "
+                        "lever, default off until measured to win")
     args = p.parse_args()
     enable_compilation_cache()  # reuse compiled programs across bench runs
 
@@ -205,6 +211,7 @@ def main():
     jax.local_device_count()  # forces backend init under the watchdog
     ready.set()
     ips = bench_attack_train(batch_size=args.batch, regime=args.regime,
+                             packed_entry=args.packed_entry,
                              verbose=bool(os.environ.get("BENCH_VERBOSE")))
     print(json.dumps({
         "metric": "attack_train_images_per_sec_per_chip_lite4_640",

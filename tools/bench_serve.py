@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 
-def main(model_name="efficientdet-d0", batches=(1, 8), iters=20):
+def main(model_name="efficientdet-d0", batches=(1, 8), iters=20,
+         packed_entry=0):
     import mladversarialobjectdetection_tpu as mad
     from mladversarialobjectdetection_tpu.models.efficientdet import (
         EfficientDetNet, spec_from_config)
@@ -32,7 +33,7 @@ def main(model_name="efficientdet-d0", batches=(1, 8), iters=20):
     cfg.mixed_precision = True
     cfg.nms_configs.update({"pre_nms_topk": 1024})
     spec = spec_from_config(cfg)
-    net = EfficientDetNet(spec)
+    net = EfficientDetNet(spec, packed_entry=packed_entry)
     params = cfg.as_dict()
     hw = spec.image_size
     variables = jax.jit(net.init, static_argnames=("training",))(
@@ -60,7 +61,8 @@ def main(model_name="efficientdet-d0", batches=(1, 8), iters=20):
             det = f(x, scales)
         _ = float(jnp.sum(det.scores))
         dt = (time.perf_counter() - t0) / iters
-        print(f"{model_name} @ {hw} batch {b}: {dt*1e3:7.2f} ms "
+        tag = f" packed{packed_entry}" if packed_entry else ""
+        print(f"{model_name} @ {hw} batch {b}{tag}: {dt*1e3:7.2f} ms "
               f"({b/dt:7.1f} img/s)", flush=True)
 
 
@@ -126,8 +128,11 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--pipelined", action="store_true",
                    help="streaming serial-vs-pipelined comparison instead")
+    p.add_argument("--packed-entry", type=int, default=0,
+                   help="leading backbone blocks in the space-to-depth "
+                        "packed layout (models/efficientnet_packed.py)")
     a = p.parse_args()
     if a.pipelined:
         bench_pipelined(a.model)
     else:
-        main(a.model, tuple(a.batches), a.iters)
+        main(a.model, tuple(a.batches), a.iters, a.packed_entry)

@@ -23,7 +23,8 @@ ALL_MODELS = [f"efficientdet-lite{i}" for i in range(5)] + \
              [f"efficientdet-d{i}" for i in range(8)] + ["efficientdet-d7x"]
 
 
-def bench_model(model_name: str, batches=(1, 8), iters=20):
+def bench_model(model_name: str, batches=(1, 8), iters=20,
+                packed_entry=0):
     import jax
     import jax.numpy as jnp
     import mladversarialobjectdetection_tpu as mad
@@ -35,7 +36,7 @@ def bench_model(model_name: str, batches=(1, 8), iters=20):
     cfg.mixed_precision = True
     cfg.nms_configs.update({"pre_nms_topk": 1024})
     spec = spec_from_config(cfg)
-    net = EfficientDetNet(spec)
+    net = EfficientDetNet(spec, packed_entry=packed_entry)
     params = cfg.as_dict()
     hw = spec.image_size
     variables = jax.jit(net.init, static_argnames=("training",))(
@@ -101,6 +102,8 @@ def main():
     p.add_argument("--batches", nargs="*", type=int, default=[1, 8])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--out", default="docs/ZOO_BENCH.json")
+    p.add_argument("--packed-entry", type=int, default=0,
+                   help="leading backbone blocks in the packed layout")
     a = p.parse_args()
     models = ([m if m.startswith("efficientdet") else f"efficientdet-{m}"
                for m in a.models] if a.models else ALL_MODELS)
@@ -120,7 +123,8 @@ def main():
                "results": results}
     for m in models:
         try:
-            row = bench_model(m, tuple(a.batches), a.iters)
+            row = bench_model(m, tuple(a.batches), a.iters,
+                              a.packed_entry)
             # merge batches into an existing row so `--models lite0
             # --batches 32` augments the b1/b8 data instead of dropping it
             prior = results.get(m, {})
