@@ -75,7 +75,8 @@ def train(model_name: str = "efficientdet-lite4", *,
           visualize_freq: int = 200, config_override=None,
           patch_size: int = 640, mixed_precision: bool = True,
           pre_nms_topk: int = 256, window: int | None = 320,
-          grad_accum: int = 1, spatial: int = 1, resume: bool = False):
+          grad_accum: int = 1, spatial: int = 1, resume: bool = False,
+          packed_entry: int = 0):
     config = config_lib.get_efficientdet_config(model_name)
     # attack-time NMS override (attacker_train.py:31). pre_nms_topk 256 is
     # the benched operating point (bench.py): with score_thresh .5 there are
@@ -103,9 +104,12 @@ def train(model_name: str = "efficientdet-lite4", *,
     # window=320 covers the learned-scale patch regime (diag <= 320 <=>
     # patch side <= 226 px; see ops/eot.py geometry notes) and is the
     # benched operating point; pass --window 0 for the full default.
+    # --packed-entry N: victim entry stages in the space-to-depth packed
+    # layout (models/efficientnet_packed.py) — same checkpoint variables
     attacker = PatchAttacker(config, det_vars, learning_rate=lr,
                              patch_size=patch_size, window=window or None,
-                             grad_accum=grad_accum)
+                             grad_accum=grad_accum,
+                             packed_entry=packed_entry)
     key = jax.random.PRNGKey(seed)
     if initial_patch:
         patch_np, scale0 = artifacts.load_patch_dir(
@@ -307,6 +311,9 @@ def main():
                         "(spatial model parallelism for the large "
                         "victims; must divide the device count and the "
                         "image height)")
+    p.add_argument("--packed-entry", type=int, default=0,
+                   help="victim entry blocks in the space-to-depth packed "
+                        "layout (models/efficientnet_packed.py)")
     p.add_argument("--resume", action="store_true",
                    help="resume the FULL state (patch + adam moments + "
                         "PRNG + plateau-LR + data position) from "
@@ -320,7 +327,8 @@ def main():
           image_size=args.image_size, mixed_precision=not args.fp32,
           pre_nms_topk=args.pre_nms_topk, window=args.window,
           config_override=args.hparams, grad_accum=args.grad_accum,
-          spatial=args.spatial, resume=args.resume)
+          spatial=args.spatial, resume=args.resume,
+          packed_entry=args.packed_entry)
 
 
 if __name__ == "__main__":

@@ -60,10 +60,12 @@ class PatchAttackDefender:
     def __init__(self, config, det_variables, *, eval_patch=None,
                  eval_scale: float = 0.4, learning_rate: float = 1e-2,
                  n_filters: int = 8, grad_accum: int = 1,
-                 packed: bool = False):
+                 packed: bool = False, packed_entry: int = 0):
         self.config = config
         self.spec = spec_from_config(config)
-        self.net = EfficientDetNet(self.spec)
+        # packed_entry: frozen-protege entry stages in the space-to-depth
+        # packed layout (models/efficientnet_packed.py)
+        self.net = EfficientDetNet(self.spec, packed_entry=packed_entry)
         self.det_variables = det_variables
         unet_dtype = (jnp.bfloat16 if config.get("mixed_precision")
                       else None)
