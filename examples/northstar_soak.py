@@ -55,7 +55,10 @@ def build_victim(cfg, pool, rng, det_steps, victim_path, victim_ckpt=None,
     from mladversarialobjectdetection_tpu.train.trainer import DetectorTrainer
     if victim_ckpt:
         print(f"[victim] loading {victim_ckpt}", flush=True)
-        return ckpt_io.load_pytree(victim_ckpt)
+        # device_put once: load_pytree returns host arrays, and passing
+        # those as train_step args re-uploads ~60 MB of victim weights
+        # through the tunnel EVERY step (observed 10x step slowdown)
+        return jax.device_put(ckpt_io.load_pytree(victim_ckpt))
     trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
     state = trainer.init_state(jax.random.PRNGKey(seed))
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)

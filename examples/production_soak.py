@@ -164,7 +164,9 @@ def main(save_dir: str, det_steps=800, attack_steps=1000, defend_steps=400,
     victim_path = os.path.join(save_dir, "victim_ckpt")
     if victim_ckpt:
         print(f"[victim] loading {victim_ckpt}", flush=True)
-        det_vars = ckpt_io.load_pytree(victim_ckpt)
+        # device_put once: host arrays as train_step args re-upload the
+        # ~60 MB victim through the tunnel EVERY step (10x step slowdown)
+        det_vars = jax.device_put(ckpt_io.load_pytree(victim_ckpt))
     else:
         trainer = DetectorTrainer(cfg, steps_per_epoch=det_steps)
         state = trainer.init_state(jax.random.PRNGKey(seed))
