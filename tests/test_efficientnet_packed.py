@@ -76,6 +76,7 @@ def test_forward_equivalence_eval(pair, n_packed):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)
 
 
+@pytest.mark.slow  # heavy equivalence golden; fast tier keeps pytree/forward/dw smoke
 def test_forward_and_stats_equivalence_train(pair):
     """Training mode: outputs AND updated BN batch_stats match."""
     spec, net, variables, x = pair
@@ -92,6 +93,7 @@ def test_forward_and_stats_equivalence_train(pair):
                                    atol=2e-5, err_msg=str(pr))
 
 
+@pytest.mark.slow  # heavy equivalence golden; fast tier keeps pytree/forward/dw smoke
 def test_input_gradient_equivalence(pair):
     spec, net, variables, x = pair
     packed = PackedEntryEfficientNet(spec, packed_blocks=4)
@@ -140,6 +142,7 @@ def test_packed_dw_kernels_standalone():
                                    atol=1e-5)
 
 
+@pytest.mark.slow  # heavy equivalence golden; fast tier keeps pytree/forward/dw smoke
 def test_detector_packed_entry_serve_parity(tiny_detector):
     """EfficientDetNet(packed_entry=2) reproduces the unpacked detector's
     raw head outputs on the same variables."""
@@ -160,6 +163,7 @@ def test_detector_packed_entry_serve_parity(tiny_detector):
                                    atol=2e-4)
 
 
+@pytest.mark.slow  # heavy equivalence golden; fast tier keeps pytree/forward/dw smoke
 def test_attacker_packed_victim_equivalence(tiny_detector, rand_images):
     """PatchAttacker(packed_entry=2): same loss and same patch gradient as
     the unpacked victim on identical state/variables/key."""

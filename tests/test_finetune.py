@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 90s trained-ckpt module fixture; ckpt-restore smoke lives in test_ckpt_file_restore
+
 from conftest import tiny_config
 from mladversarialobjectdetection_tpu.ckpt import finetune
 from mladversarialobjectdetection_tpu.ckpt import io as ckpt_io

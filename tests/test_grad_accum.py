@@ -200,6 +200,7 @@ def test_defender_accum_matches_full_batch(tiny_detector, monkeypatch):
                                float(m_acc.mean_adv_score), rtol=1e-4)
 
 
+@pytest.mark.slow  # 42s of trace for an error-path check; slow tier
 def test_accum_batch_divisibility_errors(tiny_cfg, tiny_detector):
     cfg, _, _, det_vars = tiny_detector
     hw = (tiny_cfg.image_size, tiny_cfg.image_size)
