@@ -313,7 +313,10 @@ def main():
                         "image height)")
     p.add_argument("--packed-entry", type=int, default=0,
                    help="victim entry blocks in the space-to-depth packed "
-                        "layout (models/efficientnet_packed.py)")
+                        "layout (models/efficientnet_packed.py); measured "
+                        "2.4x SLOWER on this toolchain "
+                        "(docs/PACKED_BACKBONE.md) — measurement lever, "
+                        "leave 0")
     p.add_argument("--resume", action="store_true",
                    help="resume the FULL state (patch + adam moments + "
                         "PRNG + plateau-LR + data position) from "

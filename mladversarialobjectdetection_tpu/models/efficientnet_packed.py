@@ -50,6 +50,14 @@ dead-code-eliminates those conversions in the detector program.
 Sync-BN (bn_axis_name) is not supported in packed mode — the packed
 region is an inference/victim-forward optimization; training with
 cross-replica BN uses the unpacked module.
+
+MEASURED VERDICT (round 5, real chip — docs/PACKED_BACKBONE.md): a
+LOSS at every production operating point. The current XLA toolchain
+lowers the required 4-channel-group depthwise through an intermediate
+whose per-group minor dim (=1) is lane-padded 128x, which OOMs the
+giants' and lite4's serve compiles outright and runs the lite4 attack
+step 2.4x slower (56.8 vs 137.7 img/s). This module stays as an
+equivalence-tested opt-in measurement lever; every default is unpacked.
 """
 from __future__ import annotations
 
